@@ -9,12 +9,13 @@ pandas/Arrow UDFs over DataFrames of Common-Crawl-style pages
 resume handled at the DataFrame level.
 """
 
-from rust_html2text_spark.engine.api import (
-    Config,
-    TooNarrow,
-    html_to_text,
-    plain_config,
-)
-
 __all__ = ["html_to_text", "Config", "plain_config", "TooNarrow"]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy to keep `import rust_html2text_spark` light
+    if name in __all__:
+        from rust_html2text_spark.engine import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -1,0 +1,411 @@
+"""HTML5 DOM construction on the stdlib tokenizer.
+
+The reference parses with html5ever's WHATWG tree construction
+(/root/reference/src/lib.rs:3011-3023, scripting disabled).  This container
+has no html5lib/lxml, so we implement the subset of the WHATWG tree-builder
+rules the rendering semantics depend on, over `html.parser.HTMLParser`
+(a pure tokenizer):
+
+- implied <html>/<head>/<body>, leading whitespace dropped before content
+- void elements; self-closing start tags treated as start tags (HTML mode)
+- auto-closing: p-closers, li/dd/dt siblings, <a> nesting
+- table modes: implied <tbody>, row/cell auto-close, foster parenting of
+  non-whitespace content out of table contexts
+- end-tag matching bounded by cell/table/html scopes; </p> synthesizes an
+  empty <p>; </br> acts like <br>
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+
+class DomNode:
+    __slots__ = ("kind", "name", "attrs", "children", "parent", "text")
+
+    def __init__(self, kind, name=None, attrs=None, text=None):
+        self.kind = kind  # document | element | text | comment
+        self.name = name
+        self.attrs = attrs if attrs is not None else {}
+        self.children: list[DomNode] = []
+        self.parent: DomNode | None = None
+        self.text = text
+
+    def append(self, child: "DomNode") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def insert_before(self, child: "DomNode", ref: "DomNode") -> None:
+        child.parent = self
+        idx = self.children.index(ref)
+        self.children.insert(idx, child)
+
+    def __repr__(self):
+        if self.kind == "text":
+            return f"Text({self.text!r})"
+        if self.kind == "element":
+            return f"<{self.name} {self.attrs}>x{len(self.children)}"
+        return f"{self.kind}"
+
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen "
+    "link meta param source track wbr".split()
+)
+
+HEAD_ELEMENTS = frozenset("base basefont bgsound link meta title style script template".split())
+
+P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+    "hr li dd dt listing main menu nav ol p plaintext pre section summary "
+    "table ul xmp".split()
+)
+
+# WHATWG "special" category minus address/div/p — elements that stop the
+# li/dd/dt auto-close walk.
+_LI_BREAKERS = frozenset(
+    "applet area article aside base basefont bgsound blockquote body br "
+    "button caption center col colgroup dd details dir dl dt embed "
+    "fieldset figcaption figure footer form frame frameset h1 h2 h3 h4 h5 "
+    "h6 head header hgroup hr html iframe img input keygen li link listing "
+    "main marquee menu meta nav noembed noframes noscript object ol param "
+    "plaintext pre script section select source style summary table tbody "
+    "td template textarea tfoot th thead title tr track ul wbr xmp".split()
+)
+
+TABLE_CTX = frozenset("table tbody thead tfoot tr".split())
+TABLE_SECTIONS = frozenset("tbody thead tfoot".split())
+
+# Scope boundaries for generic end-tag matching.
+_END_SCOPE_BOUNDARY = frozenset("td th table caption html".split())
+
+_P_SCOPE_BOUNDARY = frozenset(
+    "html body table td th caption button object template marquee applet svg".split()
+)
+
+
+class TreeBuilder(HTMLParser):
+    def __init__(self, xml_mode: bool = False):
+        super().__init__(convert_charrefs=True)
+        self.xml_mode = xml_mode
+        self.doc = DomNode("document")
+        self.stack: list[DomNode] = [self.doc]
+        self.html_node: DomNode | None = None
+        self.head_node: DomNode | None = None
+        self.body_node: DomNode | None = None
+        self.body_started = False
+
+    # -- structure helpers -----------------------------------------------
+
+    def current(self) -> DomNode:
+        return self.stack[-1]
+
+    def _ensure_html(self) -> None:
+        if self.html_node is None:
+            self.html_node = DomNode("element", "html")
+            self.doc.append(self.html_node)
+        if self.html_node not in self.stack:
+            self.stack = [self.doc, self.html_node]
+
+    def _ensure_head(self) -> None:
+        self._ensure_html()
+        if self.head_node is None:
+            self.head_node = DomNode("element", "head")
+            self.html_node.append(self.head_node)
+
+    def _ensure_body(self) -> None:
+        self._ensure_html()
+        self._ensure_head()
+        if self.body_node is None:
+            self.body_node = DomNode("element", "body")
+            self.html_node.append(self.body_node)
+        if not self.body_started:
+            self.body_started = True
+            # drop back to <html> level, then enter body
+            while len(self.stack) > 1 and self.stack[-1] is not self.html_node:
+                self.stack.pop()
+            self.stack.append(self.body_node)
+
+    def _open_names(self) -> list[str]:
+        return [n.name for n in self.stack if n.kind == "element"]
+
+    def _pop_through(self, node: DomNode) -> None:
+        while self.stack:
+            top = self.stack.pop()
+            if top is node:
+                break
+
+    def _find_in_scope(self, name: str, boundaries) -> DomNode | None:
+        for node in reversed(self.stack):
+            if node.kind != "element":
+                return None
+            if node.name == name:
+                return node
+            if node.name in boundaries:
+                return None
+        return None
+
+    def _close_p_if_open(self) -> None:
+        p = self._find_in_scope("p", _P_SCOPE_BOUNDARY)
+        if p is not None:
+            self._pop_through(p)
+
+    def _close_li_like(self, names: tuple[str, ...]) -> None:
+        for node in reversed(self.stack):
+            if node.kind != "element":
+                return
+            if node.name in names:
+                self._pop_through(node)
+                return
+            if node.name in _LI_BREAKERS:
+                return
+
+    def _nearest_table(self) -> DomNode | None:
+        for node in reversed(self.stack):
+            if node.kind == "element" and node.name == "table":
+                return node
+        return None
+
+    def _in_foster_context(self) -> bool:
+        cur = self.current()
+        return cur.kind == "element" and cur.name in TABLE_CTX
+
+    def _foster_insert(self, node: DomNode) -> None:
+        """Insert before the nearest table (WHATWG foster parenting)."""
+        table = self._nearest_table()
+        if table is not None and table.parent is not None:
+            table.parent.insert_before(node, table)
+        else:
+            self.current().append(node)
+
+    def _insert_node(self, node: DomNode, foster_ok: bool = True) -> None:
+        if foster_ok and self._in_foster_context():
+            self._foster_insert(node)
+        else:
+            self.current().append(node)
+
+    def _in_svg(self) -> bool:
+        return any(n.kind == "element" and n.name == "svg" for n in self.stack)
+
+    # -- tokenizer callbacks ------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        attr_dict: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attr_dict:
+                attr_dict[k] = v if v is not None else ""
+
+        if tag == "html":
+            self._ensure_html()
+            for k, v in attr_dict.items():
+                self.html_node.attrs.setdefault(k, v)
+            return
+        if tag == "head":
+            self._ensure_head()
+            if not self.body_started and self.head_node not in self.stack:
+                self.stack.append(self.head_node)
+            return
+        if tag == "body":
+            self._ensure_body()
+            for k, v in attr_dict.items():
+                self.body_node.attrs.setdefault(k, v)
+            return
+
+        if not self.body_started and tag in HEAD_ELEMENTS:
+            self._ensure_head()
+            node = DomNode("element", tag, attr_dict)
+            self.head_node.append(node)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(node)
+            return
+
+        self._ensure_body()
+
+        # table-structure tags
+        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup", "tr", "td", "th", "col"):
+            table = self._nearest_table()
+            if table is None:
+                return  # ignored outside a table (WHATWG "in body")
+            tpos = self.stack.index(table)
+            if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+                del self.stack[tpos + 1 :]
+                node = DomNode("element", tag, attr_dict)
+                table.append(node)
+                self.stack.append(node)
+                return
+            if tag == "col":
+                cur = self.current()
+                if cur.kind != "element" or cur.name != "colgroup":
+                    del self.stack[tpos + 1 :]
+                    cg = DomNode("element", "colgroup")
+                    table.append(cg)
+                    self.stack.append(cg)
+                node = DomNode("element", "col", attr_dict)
+                self.current().append(node)
+                return
+            if tag == "tr":
+                # close any open cell/row: pop to a section or the table
+                while self.stack[-1] is not table and (
+                    self.stack[-1].name not in TABLE_SECTIONS
+                ):
+                    self.stack.pop()
+                if self.stack[-1] is table:
+                    tb = DomNode("element", "tbody")
+                    table.append(tb)
+                    self.stack.append(tb)
+                node = DomNode("element", "tr", attr_dict)
+                self.current().append(node)
+                self.stack.append(node)
+                return
+            # td / th
+            while self.stack[-1] is not table and self.stack[-1].name not in (
+                "tr",
+                *TABLE_SECTIONS,
+            ):
+                self.stack.pop()
+            if self.stack[-1].name != "tr":
+                if self.stack[-1] is table:
+                    tb = DomNode("element", "tbody")
+                    table.append(tb)
+                    self.stack.append(tb)
+                tr = DomNode("element", "tr")
+                self.current().append(tr)
+                self.stack.append(tr)
+            node = DomNode("element", tag, attr_dict)
+            self.current().append(node)
+            self.stack.append(node)
+            return
+
+        if tag == "table" and self._in_foster_context():
+            # <table> directly inside an open table: close the open table
+            table = self._nearest_table()
+            self._pop_through(table)
+
+        if tag in P_CLOSERS:
+            self._close_p_if_open()
+        if tag == "li":
+            self._close_li_like(("li",))
+        elif tag in ("dd", "dt"):
+            self._close_li_like(("dd", "dt"))
+        elif tag == "a":
+            open_a = self._find_in_scope("a", _P_SCOPE_BOUNDARY)
+            if open_a is not None:
+                self._pop_through(open_a)
+        elif tag == "image":
+            tag = "img"
+
+        node = DomNode("element", tag, attr_dict)
+        self._insert_node(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        # HTML mode: self-closing flag is ignored on non-void HTML elements
+        # (they stay open); in foreign (svg) content and in XML mode it
+        # closes the element (XmlMode::Auto sniff, lib.rs:2983-2995).
+        if self.xml_mode:
+            self.handle_starttag(tag, attrs)
+            if tag not in VOID_ELEMENTS:
+                if self.stack and self.stack[-1].kind == "element" and self.stack[-1].name == tag:
+                    self.stack.pop()
+            return
+        if self._in_svg() or tag == "svg":
+            in_svg_before = self._in_svg()
+            self.handle_starttag(tag, attrs)
+            if tag not in VOID_ELEMENTS and (in_svg_before or tag == "svg"):
+                if self.stack and self.stack[-1].kind == "element" and self.stack[-1].name == tag:
+                    self.stack.pop()
+        else:
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "br":
+            self.handle_starttag("br", [])
+            return
+        if tag in ("body", "html"):
+            return
+        if tag in VOID_ELEMENTS:
+            return
+        boundaries = _END_SCOPE_BOUNDARY - {tag}
+        target = self._find_in_scope(tag, boundaries)
+        if target is None:
+            if tag == "p":
+                # WHATWG: </p> with no open <p> inserts an empty <p>
+                self._ensure_body()
+                self._insert_node(DomNode("element", "p"))
+            return
+        self._pop_through(target)
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if not self.body_started:
+            if data.strip() == "":
+                if self.head_node is not None and self.head_node in self.stack:
+                    self._append_text(self.head_node, data)
+                return
+            # non-whitespace: check if we're inside a head raw-text element
+            cur = self.current()
+            if cur.kind == "element" and cur.name in ("title", "style", "script", "template"):
+                self._append_text(cur, data)
+                return
+            self._ensure_body()
+        if self._in_foster_context():
+            if data.strip() == "":
+                self._append_text(self.current(), data)
+            else:
+                table = self._nearest_table()
+                text = DomNode("text", text=data)
+                if table is not None and table.parent is not None:
+                    # merge with preceding text node if adjacent
+                    parent = table.parent
+                    idx = parent.children.index(table)
+                    if idx > 0 and parent.children[idx - 1].kind == "text":
+                        parent.children[idx - 1].text += data
+                    else:
+                        parent.insert_before(text, table)
+                else:
+                    self._append_text(self.current(), data)
+            return
+        self._append_text(self.current(), data)
+
+    @staticmethod
+    def _append_text(parent: DomNode, data: str) -> None:
+        if parent.children and parent.children[-1].kind == "text":
+            parent.children[-1].text += data
+        else:
+            node = DomNode("text", text=data)
+            parent.append(node)
+
+    def handle_comment(self, data):
+        node = DomNode("comment", text=data)
+        if self.stack[-1] is self.doc:
+            self.doc.append(node)
+        else:
+            self.current().append(node)
+
+    def handle_decl(self, decl):
+        pass
+
+    def handle_pi(self, data):
+        pass
+
+    def unknown_decl(self, data):
+        pass
+
+
+def parse_html(data: bytes | str, xml_mode: bool | None = None) -> DomNode:
+    """Parse HTML bytes/str into a DOM Document node.
+
+    xml_mode=None sniffs the first 5 bytes for `<?xml` (XmlMode::Auto,
+    lib.rs:2983-2995)."""
+    if isinstance(data, (bytes, bytearray)):
+        data = data.decode("utf-8", errors="replace")
+    if xml_mode is None:
+        xml_mode = data.startswith("<?xml")
+    builder = TreeBuilder(xml_mode)
+    builder.feed(data)
+    builder.close()
+    builder._ensure_body()
+    return builder.doc

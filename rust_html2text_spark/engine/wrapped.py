@@ -1,0 +1,244 @@
+"""Greedy word-wrap engine.
+
+Re-derives `WrappedBlock` (/root/reference/src/render/text_renderer.rs:453-828):
+whitespace collapse in Normal mode, preservation in Pre/PreWrap, tab stops of
+8, NBSP as a hard character, ZWSP as a pure break point, and hard char-level
+wrapping of overlong words with TooNarrow on unsplittable wide chars.
+
+White-space modes are carried per-span as `(tag, ws_mode)` tuples, matching
+the Rust `WithWhiteSpace<T>` wrapper.
+"""
+
+from __future__ import annotations
+
+from .errors import TooNarrow
+from .taggedline import FragmentStart, TaggedLine, TaggedString
+from .textutil import (
+    always_takes_space,
+    char_width,
+    is_unicode_whitespace,
+    is_wordbreak_point,
+)
+
+WS_NORMAL = 0
+WS_PRE = 1
+WS_PRE_WRAP = 2
+
+
+def preserve_whitespace(ws_mode: int) -> bool:
+    return ws_mode != WS_NORMAL
+
+
+class WrappedBlock:
+    __slots__ = (
+        "width",
+        "text",
+        "line",
+        "spacetag",
+        "word",
+        "wordlen",
+        "wslen",
+        "pre_wrapped",
+        "pad_blocks",
+        "allow_overflow",
+        "default_tag",
+    )
+
+    def __init__(self, width: int, pad_blocks: bool, allow_overflow: bool, default_tag):
+        self.width = width
+        self.text: list[TaggedLine] = []
+        self.line = TaggedLine()  # spans tagged (tag, ws_mode)
+        self.spacetag = None  # (tag, ws_mode) for whitespace before current word
+        self.word = TaggedLine()
+        self.wordlen = 0
+        self.wslen = 0
+        self.pre_wrapped = False
+        self.pad_blocks = pad_blocks
+        self.allow_overflow = allow_overflow
+        self.default_tag = default_tag
+
+    # -- flushing ------------------------------------------------------------
+
+    def flush_word(self) -> None:
+        if not self.word.is_empty():
+            ws_mode = WS_NORMAL
+            for e in self.word.v:
+                if isinstance(e, TaggedString):
+                    ws_mode = e.tag[1]
+                    break
+            self.pre_wrapped = False
+            space_in_line = self.width - self.line.len
+            space_needed = self.wslen + self.wordlen
+            if space_needed <= space_in_line:
+                if self.wslen > 0:
+                    tag = self.spacetag
+                    self.spacetag = None
+                    self.line.push(TaggedString(" " * self.wslen, tag))
+                    self.wslen = 0
+                self.line.consume(self.word)
+            else:
+                if self.spacetag is not None:
+                    st_mode = self.spacetag[1]
+                    if st_mode == WS_PRE:
+                        # Not word-wrapping: output whatever whitespace fits.
+                        if self.wslen >= space_in_line:
+                            self.wslen -= space_in_line
+                        elif self.wslen > 0:
+                            tag = self.spacetag
+                            self.spacetag = None
+                            self.line.push_ws(self.wslen, tag)
+                            self.wslen = 0
+                    elif st_mode == WS_NORMAL:
+                        self.spacetag = None
+                        self.wslen = 0
+                    else:  # WS_PRE_WRAP
+                        self.spacetag = None
+                        self.wslen = 0
+                        self.word.remove_leading_whitespace()
+                        self.line.remove_trailing_spaces()
+                self.flush_line()
+
+                if ws_mode == WS_PRE:
+                    self.pre_wrapped = True
+
+                while self.wslen > 0:
+                    to_copy = min(self.wslen, self.width)
+                    self.line.push_ws(to_copy, self.spacetag)
+                    if to_copy == self.width:
+                        self.flush_line()
+                    self.wslen -= to_copy
+                self.spacetag = None
+
+                self.flush_word_hard_wrap()
+        self.wordlen = 0
+
+    def flush_word_hard_wrap(self) -> None:
+        """text_renderer.rs:589-644."""
+        lineleft = self.width - self.line.len
+        for element in self.word.remove_items():
+            if isinstance(element, TaggedString):
+                piece_s = element.s
+                piece_tag = element.tag
+                w = element.width()
+                wpos = 0
+                bpos = 0  # char index of already-copied pieces
+                while w - wpos > lineleft:
+                    split_idx = 0
+                    for idx, c in enumerate(piece_s[bpos:]):
+                        c_w = char_width(c)
+                        if c_w <= lineleft:
+                            lineleft -= c_w
+                            wpos += c_w
+                        else:
+                            if idx == 0 and self.line.width() == 0:
+                                if self.allow_overflow:
+                                    split_idx = 1
+                                    wpos += c_w
+                                    break
+                                raise TooNarrow()
+                            split_idx = idx
+                            break
+                    self.line.push(
+                        TaggedString(piece_s[bpos : bpos + split_idx], piece_tag)
+                    )
+                    bpos += split_idx
+                    self.force_flush_line()
+                    lineleft = self.width
+                if bpos == 0:
+                    self.line.push(element)
+                    lineleft -= w
+                elif bpos < len(piece_s):
+                    self.line.push(TaggedString(piece_s[bpos:], piece_tag))
+                    lineleft -= max(w - wpos, 0)
+
+    def flush_line(self) -> None:
+        if not self.line.is_empty():
+            self.force_flush_line()
+
+    def force_flush_line(self) -> None:
+        tmp_line = self.line
+        self.line = TaggedLine()
+        if self.pad_blocks:
+            tmp_line.pad_to(self.width, (self.default_tag, WS_NORMAL))
+        self.text.append(tmp_line.map_tag(lambda ww: ww[0]))
+
+    def flush(self) -> None:
+        self.flush_word()
+        self.flush_line()
+
+    def take_trailing_fragments(self) -> list:
+        if self.word.is_empty():
+            items = self.word.v
+            self.word = TaggedLine()
+            return list(items)
+        return []
+
+    def into_lines(self) -> list[TaggedLine]:
+        self.flush()
+        return self.text
+
+    # -- input ---------------------------------------------------------------
+
+    def add_text(self, text: str, ws_mode: int, main_tag, wrap_tag) -> None:
+        """text_renderer.rs:708-814."""
+        tag = wrap_tag if self.pre_wrapped else main_tag
+        for c in text:
+            if is_wordbreak_point(c) and self.wordlen > 0 and ws_mode != WS_PRE:
+                self.flush_word()
+
+            if c == "\u200b":
+                continue
+            if not always_takes_space(c):
+                if preserve_whitespace(ws_mode):
+                    if c == "\n":
+                        self.flush_word()
+                        self.force_flush_line()
+                        self.wslen = 0
+                        self.spacetag = None
+                        self.pre_wrapped = False
+                        tag = main_tag
+                    elif c == "\t":
+                        self.flush_word()
+                        tab_stop = 8
+                        pos = self.line.len + self.wordlen + self.wslen
+                        at_least_one_space = False
+                        while pos % tab_stop != 0 or not at_least_one_space:
+                            if pos >= self.width:
+                                self.flush_line()
+                                pos = 0
+                            else:
+                                self.line.push_char(" ", (tag, ws_mode))
+                                pos += 1
+                                at_least_one_space = True
+                    else:
+                        cwidth = char_width(c)
+                        if cwidth >= 0:
+                            if self.word.is_empty() and is_unicode_whitespace(c):
+                                self.wslen += cwidth
+                                self.spacetag = (tag, ws_mode)
+                            else:
+                                self.word.push_char(c, (tag, ws_mode))
+                                self.wordlen += cwidth
+                else:
+                    if self.line.len > 0 and self.wslen == 0:
+                        self.spacetag = (tag, ws_mode)
+                        self.wslen = 1
+            else:
+                cwidth = char_width(c)
+                if cwidth >= 0:
+                    self.wordlen += cwidth
+                    if ws_mode == WS_PRE and (
+                        self.line.len + self.wslen + self.wordlen > self.width
+                    ):
+                        self.pre_wrapped = True
+                        tag = wrap_tag
+                    self.word.push_char(c, (tag, ws_mode))
+
+    def add_element(self, elt: FragmentStart) -> None:
+        self.word.push(elt)
+
+    def text_len(self) -> int:
+        return len(self.text) + self.line.len + self.wordlen
+
+    def is_empty(self) -> bool:
+        return self.text_len() == 0

@@ -46,16 +46,28 @@ class Cursor:
 ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", '"': '"', "'": "'", "0": "\0"}
 
 
-def parse_quoted(cur: Cursor) -> str:
-    """Parse a normal Rust string body starting at the opening quote."""
+def parse_quoted(cur: Cursor, is_bytes: bool = False) -> str:
+    """Parse a normal Rust string body starting at the opening quote.
+
+    In byte strings (b"..."), \\xNN escapes are raw BYTES (typically UTF-8
+    encoded text), not code points.
+    """
     assert cur.src[cur.pos] == '"'
     cur.pos += 1
-    out: list[str] = []
+    out: list = []  # str pieces and int raw bytes
+    def _join():
+        buf = bytearray()
+        for piece in out:
+            if isinstance(piece, int):
+                buf.append(piece)
+            else:
+                buf.extend(piece.encode("utf-8"))
+        return buf.decode("utf-8")
     while True:
         c = cur.src[cur.pos]
         if c == '"':
             cur.pos += 1
-            return "".join(out)
+            return _join()
         if c == "\\":
             nxt = cur.src[cur.pos + 1]
             if nxt == "u":
@@ -64,7 +76,8 @@ def parse_quoted(cur: Cursor) -> str:
                 out.append(chr(int(cur.src[cur.pos + 3 : close], 16)))
                 cur.pos = close + 1
             elif nxt == "x":
-                out.append(chr(int(cur.src[cur.pos + 2 : cur.pos + 4], 16)))
+                val = int(cur.src[cur.pos + 2 : cur.pos + 4], 16)
+                out.append(val if is_bytes else chr(val))
                 cur.pos += 4
             elif nxt == "\n":
                 # line-continuation: skip newline and leading whitespace
@@ -141,7 +154,7 @@ def parse_string_expr(cur: Cursor):
         s = parse_raw(cur)
     elif src.startswith('b"', p):
         cur.pos += 1
-        s = parse_quoted(cur)
+        s = parse_quoted(cur, is_bytes=True)
     elif src.startswith("r", p) and src[p + 1] in '#"':
         s = parse_raw(cur)
     elif src.startswith('"', p):
