@@ -1,0 +1,165 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact dedup = hash-groupBy on an md5 fingerprint (one shuffle, map-side
+  partial aggregation for the counts).
+- MinHash uses md5 hex-string minima (lexicographic min over shingle
+  hashes), computed entirely with JVM higher-order functions — no UDF, no
+  shuffle until the band-bucket groupBy.
+- LSH banding turns the O(n^2) pair search into a shuffle on (band, key)
+  buckets; candidate pairs come from within-bucket self-joins, which AQE
+  skew-handles if a bucket is hot.
+- SimHash is a vectorized (Arrow/numpy) pandas UDF — the bit-twiddling is
+  not expressible with built-ins, but stays batch-vectorized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from .textstats import tokens_col
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) documents."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(n: int = 3, text_col: str = "text"):
+    """Distinct word n-gram shingles as an array column."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # shingle i = tokens[i..i+n) joined by space, for i in 0..len-n
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, shingle_size: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    md5(shingle || '#i') (hex strings compare consistently everywhere)."""
+    shingles = word_shingles(shingle_size)
+    cols = [F.col("doc_id")]
+    for i in range(num_hashes):
+        h = F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
+        )
+        cols.append(h.alias(f"mh{i}"))
+    return docs.select(*cols)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding of the MinHash
+    signature (band matches ⇒ candidate)."""
+    sigs = minhash_signatures(docs, num_hashes, shingle_size)
+    bands = []
+    for b in range(0, num_hashes, band_size):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)])
+        )
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b // band_size).alias("band"),
+                key.alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame | None = None, shingle_size: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (or all pairs of
+    the provided `pairs` frame)."""
+    sh = docs.select("doc_id", word_shingles(shingle_size).alias("shingles"))
+    if pairs is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    else:
+        joined = (
+            pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .withColumnRenamed("shingles", "sh_a")
+            .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .withColumnRenamed("shingles", "sh_b")
+            .select(
+                F.col("doc_a").alias("a_id"),
+                F.col("doc_b").alias("b_id"),
+                F.col("sh_a"),
+                F.col("sh_b"),
+            )
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        return joined.select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        (inter / union).alias("jaccard"),
+    )
+
+
+def simhash_py(text: str, bits: int = 64) -> int:
+    """Reference SimHash for one document (used by the UDF and tests)."""
+    acc = [0] * bits
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(bits):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(bits):
+        if acc[b] >= 0:
+            out |= 1 << b
+    return out - (1 << 63)  # two's-complement into signed int64
+
+
+@pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: simhash_py(t) if t is not None else None)
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))

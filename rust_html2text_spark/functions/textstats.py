@@ -1,0 +1,83 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen, no
+Python), so they scale linearly with executors: tokenization via split,
+stopword scoring via higher-order array functions, fingerprinting via md5.
+Each has an exact ANSI-SQL oracle (see __spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Tiny deterministic stopword lists for language-ID scoring.
+EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"]
+FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"]
+
+
+def tokens_col(text_col="text"):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token counting (BPE-ish char/4 estimate alongside)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
+    )
+
+
+def _stopword_hits(tokens, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    sw = _stopword_hits(toks, EN_STOPWORDS)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (sw / n_tokens).alias("stopword_ratio"),
+        (
+            (n_alpha / n_chars) * 0.5
+            + (sw / n_tokens) * 0.5
+        ).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID (en/de/fr heuristic)."""
+    toks = tokens_col()
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    de = _stopword_hits(toks, DE_STOPWORDS)
+    fr = _stopword_hits(toks, FR_STOPWORDS)
+    pred = (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))

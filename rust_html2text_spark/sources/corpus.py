@@ -1,0 +1,132 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Builds the input table of the north rule —
+(url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+— from the driver-generated `documents` parquet, entirely with JVM-side
+built-in expressions (no Python UDF, no randomness): page archetypes
+(paragraphs / lists / tables / mixed, mirroring the reference benchmark
+shapes at /root/reference/benches/tables.rs:13-25) are selected by
+`doc_id % 4`, and a skew knob concentrates a fraction of rows onto few
+hosts plus oversized-HTML outliers to exercise the salting/outlier path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _escaped(col):
+    e = F.regexp_replace(col, "&", "&amp;")
+    e = F.regexp_replace(e, "<", "&lt;")
+    return F.regexp_replace(e, ">", "&gt;")
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages_from_documents(
+    docs: DataFrame,
+    skew_fraction: float = 0.0,
+    oversize_every: int = 0,
+) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages table.
+
+    skew_fraction: that fraction of rows gets the same host (hot-host skew).
+    oversize_every: every Nth row repeats its body 50x (oversized outliers).
+    """
+    esc = _escaped(F.col("text"))
+    words = F.split(esc, " ")
+    nwords = F.size(words)
+
+    para = F.concat(F.lit("<p>"), esc, F.lit("</p>"))
+
+    # list page: one <li> per 8-word chunk
+    chunk = F.array_join(F.slice(words, 1, 8), " ")
+    chunk2 = F.array_join(
+        F.slice(words, 9, F.greatest(nwords - F.lit(8), F.lit(1))), " "
+    )
+    list_page = F.concat(
+        F.lit("<h2>Contents</h2><ul><li>"),
+        chunk,
+        F.lit("</li><li>"),
+        chunk2,
+        F.lit("</li></ul>"),
+    )
+
+    # table page: 2x2 grid of word chunks (benches/tables.rs shape)
+    c00 = F.array_join(F.slice(words, 1, 4), " ")
+    c01 = F.array_join(F.slice(words, 5, 4), " ")
+    c10 = F.array_join(F.slice(words, 9, 4), " ")
+    c11 = F.array_join(F.slice(words, 13, 4), " ")
+    table_page = F.concat(
+        F.lit("<h1>Data</h1><table><tr><td>"),
+        c00,
+        F.lit("</td><td>"),
+        c01,
+        F.lit("</td></tr><tr><td>"),
+        c10,
+        F.lit("</td><td>"),
+        c11,
+        F.lit("</td></tr></table><p>"),
+        esc,
+        F.lit("</p>"),
+    )
+
+    # mixed page: header, blockquote, link with footnote, pre block
+    mixed_page = F.concat(
+        F.lit("<h1>Report</h1><blockquote>"),
+        chunk,
+        F.lit('</blockquote><p>See <a href="https://example.com/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">the source</a> for details.</p><pre>'),
+        chunk2,
+        F.lit("</pre><p>"),
+        esc,
+        F.lit("</p>"),
+    )
+
+    arche = F.col("doc_id") % 4
+    body = (
+        F.when(arche == 0, para)
+        .when(arche == 1, list_page)
+        .when(arche == 2, table_page)
+        .otherwise(mixed_page)
+    )
+    if oversize_every and oversize_every > 0:
+        body = F.when(
+            F.col("doc_id") % oversize_every == 0, F.repeat(body, 50)
+        ).otherwise(body)
+    html_str = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+
+    if skew_fraction > 0:
+        bucket = 1.0 / skew_fraction
+        host = F.when(
+            F.col("doc_id") % F.lit(int(bucket)) == 0, F.lit("hot.example.com")
+        ).otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+    else:
+        host = F.concat(F.lit("www."), F.col("source"), F.lit(".example.com"))
+
+    return docs.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+def load_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    skew_fraction: float = 0.0,
+    oversize_every: int = 0,
+) -> DataFrame:
+    return pages_from_documents(
+        load_documents(spark, sf_dir), skew_fraction, oversize_every
+    )
