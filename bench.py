@@ -1,0 +1,107 @@
+"""Headline benchmark: HTML→text extraction throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "docs_per_sec": ...,
+   "mb_per_sec": ...}
+
+The pages input table is materialized to parquet first (scan → render is
+what we measure, mirroring the Iceberg-scan production path, not corpus
+synthesis).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.plans.session import get_spark
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = os.path.join(tmp, "pages.parquet")
+    timings: dict[str, float] = {}
+    try:
+        # materialize the input pages table (not part of the timed path)
+        load_pages(spark, sf_dir, skew_fraction=0.05, oversize_every=101).write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+        pages = spark.read.parquet(pages_path)
+        n_docs = pages.count()
+        total_html_mb = (
+            pages.agg(F.sum(F.length("html")).alias("b")).collect()[0]["b"] / 1e6
+        )
+
+        # headline: full render (docs/sec, MB/sec)
+        t0 = time.monotonic()
+        rendered = render_pages(pages, width=80)
+        stats = rendered.agg(
+            F.count("*").alias("n"),
+            F.sum("text_bytes").alias("tb"),
+            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
+        ).collect()[0]
+        render_sec = time.monotonic() - t0
+        timings["render_flagship"] = round(render_sec, 3)
+        assert stats["n"] == n_docs, (stats["n"], n_docs)
+
+        # secondary headline queries (JVM-side pipeline ops)
+        for name in (
+            "token_count",
+            "quality_score",
+            "doc_fingerprint",
+            "minhash_signatures",
+            "lsh_candidate_pairs",
+            "knn_bruteforce",
+            "pricing_summary",
+        ):
+            fn = entrymod.queries()[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "html_to_text_throughput",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_docs": n_docs,
+                    "html_mb": round(total_html_mb, 2),
+                    "docs_per_sec": round(n_docs / render_sec, 1),
+                    "mb_per_sec": round(total_html_mb / render_sec, 2),
+                    "render_errors": int(stats["err"]),
+                    "cpus": int(cpus),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,8 @@ def char_width(c: str) -> int:
 def str_width(s: str) -> int:
     """Display width of a string (unicode-width's UnicodeWidthStr::width:
     sum of char widths, None counted as 0)."""
+    if s.isascii() and s.isprintable():
+        return len(s)
     total = 0
     for c in s:
         w = char_width(c)

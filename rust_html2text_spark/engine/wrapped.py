@@ -24,6 +24,11 @@ WS_NORMAL = 0
 WS_PRE = 1
 WS_PRE_WRAP = 2
 
+import re as _re
+
+# printable-ASCII word runs | ASCII whitespace runs | any single other char
+_NORMAL_RUNS = _re.compile(r"([!-~]+)|([ \t\n\r\x0b\x0c]+)|(.)", _re.S)
+
 
 def preserve_whitespace(ws_mode: int) -> bool:
     return ws_mode != WS_NORMAL
@@ -182,6 +187,12 @@ class WrappedBlock:
     def add_text(self, text: str, ws_mode: int, main_tag, wrap_tag) -> None:
         """text_renderer.rs:708-814."""
         tag = wrap_tag if self.pre_wrapped else main_tag
+        if ws_mode == WS_NORMAL:
+            # Fast path: in Normal mode the tag never switches mid-call and
+            # ASCII runs collapse to two bulk operations. Semantics are
+            # identical to the per-char loop below.
+            self._add_text_normal(text, tag)
+            return
         for c in text:
             if is_wordbreak_point(c) and self.wordlen > 0 and ws_mode != WS_PRE:
                 self.flush_word()
@@ -233,6 +244,46 @@ class WrappedBlock:
                         self.pre_wrapped = True
                         tag = wrap_tag
                     self.word.push_char(c, (tag, ws_mode))
+
+    def _add_text_normal(self, text: str, tag) -> None:
+        """Bulk variant of add_text for WhiteSpace::Normal: printable-ASCII
+        word runs append in one go; ASCII whitespace runs collapse to at
+        most one flush + one pending-space update; everything else falls
+        back to the exact per-char logic."""
+        wtag = (tag, WS_NORMAL)
+        word = self.word
+        line = self.line
+        for m in _NORMAL_RUNS.finditer(text):
+            kind = m.lastindex
+            g = m.group()
+            if kind == 1:  # printable ASCII, no whitespace: all width-1
+                self.wordlen += len(g)
+                word.push_str(TaggedString(g, wtag))
+            elif kind == 2:  # ASCII whitespace run
+                if self.wordlen > 0:
+                    self.flush_word()
+                    word = self.word
+                    line = self.line
+                if line.len > 0 and self.wslen == 0:
+                    self.spacetag = wtag
+                    self.wslen = 1
+            else:  # single non-ASCII (or control) char: per-char semantics
+                c = g
+                if is_wordbreak_point(c) and self.wordlen > 0:
+                    self.flush_word()
+                    word = self.word
+                    line = self.line
+                if c == "\u200b":
+                    continue
+                if not always_takes_space(c):
+                    if line.len > 0 and self.wslen == 0:
+                        self.spacetag = wtag
+                        self.wslen = 1
+                else:
+                    cwidth = char_width(c)
+                    if cwidth >= 0:
+                        self.wordlen += cwidth
+                        word.push_char(c, wtag)
 
     def add_element(self, elt: FragmentStart) -> None:
         self.word.push(elt)
