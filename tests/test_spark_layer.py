@@ -1,0 +1,153 @@
+"""Spark-layer tests: operator/engine parity, corpus determinism, resumable
+sink, and the streaming path.  One shared local session keeps this fast."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FIXTURES = json.loads(
+    (Path(__file__).parent / "fixtures/goldens.json").read_text()
+)["fixtures"]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+    spark.stop()
+
+
+def test_render_operator_matches_engine(spark):
+    """mapInPandas render == direct engine call, row by row, over real
+    fixture HTML (plumbing parity; byte-identity itself is pinned by
+    tests/test_goldens.py)."""
+    from rust_html2text_spark.engine.api import html_to_text
+    from rust_html2text_spark.engine.errors import RenderError
+    from rust_html2text_spark.operators.render import render_pages
+
+    cases = [
+        (f"u{i}", f["html"].encode("utf-8"))
+        for i, f in enumerate(FIXTURES)
+        if "expected" in f and not f.get("config", {}).get("xml")
+    ][:60]
+    df = spark.createDataFrame(cases, "url string, html binary")
+    out = {r["url"]: r for r in render_pages(df, width=40).collect()}
+    assert len(out) == len(cases)
+    for url, html in cases:
+        try:
+            expected = html_to_text(html, 40)
+            assert out[url]["text"] == expected, url
+            assert out[url]["error"] is None
+        except RenderError as e:
+            assert out[url]["error"] == type(e).__name__
+            assert out[url]["text"] is None
+
+
+def test_corpus_deterministic(spark):
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    a = sorted(load_pages(spark, SF_DIR).collect())
+    b = sorted(load_pages(spark, SF_DIR).collect())
+    assert a == b
+    assert all(r.url.startswith("https://") for r in a[:5])
+    assert all(isinstance(r.html, (bytes, bytearray)) for r in a[:5])
+
+
+def test_outlier_routing_same_results(spark):
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, SF_DIR, oversize_every=50)
+    with_routing = render_pages(pages, width=80, outlier_bytes=10_000)
+    without = render_pages(pages, width=80, outlier_bytes=None)
+    a = sorted((r.url, r.text) for r in with_routing.collect())
+    b = sorted((r.url, r.text) for r in without.collect())
+    assert a == b
+
+
+def test_resumable_sink(spark, tmp_path):
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.sources.sink import completed_buckets, run_with_resume
+
+    pages = load_pages(spark, SF_DIR).limit(80).cache()
+    out = str(tmp_path / "out")
+    s1 = run_with_resume(pages, out, num_buckets=4)
+    assert s1["buckets_skipped"] == 0
+    assert completed_buckets(out) == {0, 1, 2, 3}
+    total = spark.read.parquet(f"{out}/bucket=*").count()
+    assert total == 80
+
+    s2 = run_with_resume(pages, out, num_buckets=4)
+    assert s2["buckets_skipped"] == 4
+    assert s2["rows"] == 0
+
+    # simulate a crash before bucket 2's commit
+    (tmp_path / "out/_manifest/2.json").unlink()
+    s3 = run_with_resume(pages, out, num_buckets=4)
+    assert s3["buckets_skipped"] == 3
+    assert spark.read.parquet(f"{out}/bucket=*").count() == 80
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.streaming.pipeline import start_render_stream
+
+    pages = load_pages(spark, SF_DIR).limit(50)
+    inp = str(tmp_path / "in")
+    pages.write.parquet(inp)
+
+    q = start_render_stream(
+        spark,
+        inp,
+        str(tmp_path / "outp"),
+        str(tmp_path / "ckpt"),
+        width=80,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    streamed = sorted(
+        (r.url, r.text)
+        for r in spark.read.parquet(str(tmp_path / "outp")).collect()
+    )
+    batch = sorted(
+        (r.url, r.text) for r in render_pages(pages, width=80).collect()
+    )
+    assert streamed == batch
+
+
+def test_simhash_udf_matches_reference(spark):
+    from rust_html2text_spark.functions.dedup import simhash, simhash_py
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    rows = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for r in docs.collect():
+        assert rows[r.doc_id] == simhash_py(r.text)
+
+
+def test_knn_lsh_recall_sane(spark):
+    """LSH kNN returns a subset of brute-force candidates per query."""
+    from rust_html2text_spark.functions.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    bf = knn_bruteforce(emb, k=50, num_queries=3).collect()
+    lsh = knn_lsh(emb, k=5, num_queries=3).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf}
+    assert lsh, "LSH returned nothing"
+    # every LSH hit is a genuine neighbour candidate with the same score
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    for r in lsh:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_scores:
+            assert abs(bf_scores[key] - r.cosine) < 1e-9
