@@ -126,10 +126,23 @@ class _HtmlContext:
         self.parent_style = DEFAULT_STYLE
 
 
+def _free_dom(dom) -> None:
+    """Break the DOM's parent back-pointers so the tree dies by refcount
+    instead of waiting for the cyclic GC (hot-path allocation tax)."""
+    stack = [dom]
+    while stack:
+        node = stack.pop()
+        node.parent = None
+        stack.extend(node.children)
+
+
 def _render(html: bytes | str, width: int, config: Config) -> SubRenderer:
     context = _HtmlContext(config)
     dom = parse_html(html, xml_mode=config.xml)
-    render_tree = dom_to_render_tree(dom, context)
+    try:
+        render_tree = dom_to_render_tree(dom, context)
+    finally:
+        _free_dom(dom)
     if render_tree is None:
         raise Fail("no render tree")
     if width == 0:

@@ -50,8 +50,15 @@ def _render_batch_fn(width: int, config_kwargs: dict):
     so only rust_html2text_spark needs to ship via --py-files."""
 
     def render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
         from rust_html2text_spark.engine.api import Config, html_to_text, plain_config
         from rust_html2text_spark.engine.errors import RenderError
+
+        # The engine allocates heavily but (with the DOM back-pointers
+        # broken) produces no cyclic garbage; raising the gen-0 threshold
+        # buys ~10% throughput in the worker.
+        gc.set_threshold(200_000, 50, 50)
 
         if config_kwargs:
             config = Config(**config_kwargs)

@@ -1,0 +1,60 @@
+"""Raw-multiprocessing host ceiling for the render kernel (no Spark) over
+the SAME pages corpus the Spark measurement uses.
+Usage: _raw_ceiling.py <cpus> <pages_parquet_dir>; prints one JSON line."""
+
+import glob
+import json
+import multiprocessing as mp
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+_CHUNK = None
+
+
+def _init(chunks, idx_queue):
+    pass
+
+
+def work(chunk):
+    from rust_html2text_spark.engine.api import html_to_text
+    from rust_html2text_spark.engine.errors import RenderError
+
+    n = 0
+    for html in chunk:
+        try:
+            html_to_text(html, 80)
+        except RenderError:
+            pass
+        n += 1
+    return n
+
+
+def main():
+    import pyarrow.parquet as pq
+
+    procs = int(sys.argv[1])
+    pages_dir = sys.argv[2]
+    htmls = []
+    for f in sorted(glob.glob(f"{pages_dir}/*.parquet")):
+        tbl = pq.read_table(f, columns=["html"])
+        htmls.extend(v.as_py() for v in tbl.column("html"))
+    chunks = [htmls[i::procs] for i in range(procs)]
+    with mp.Pool(procs) as pool:
+        pool.map(work, [c[:50] for c in chunks])  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            done = sum(pool.map(work, chunks))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    print(
+        json.dumps(
+            {"cpus": procs, "docs_per_sec": round(done / best, 1), "n_docs": done}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
