@@ -51,6 +51,16 @@ def _render_batch_fn(width: int, config_kwargs: dict):
 
     def render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
+        import os
+        import sys
+
+        # Python workers inherit PYTHONPATH, not the driver's sys.path —
+        # make the package importable regardless of worker cwd.
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
 
         from rust_html2text_spark.engine.api import Config, html_to_text, plain_config
         from rust_html2text_spark.engine.errors import RenderError
