@@ -254,6 +254,36 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (window functions)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    with_gap = ev.select("user_id", "ts", "value", gap.alias("gap"))
+    new_session = F.when(
+        F.col("gap").isNull() | (F.col("gap") > 1800), 1
+    ).otherwise(0)
+    sessions = with_gap.withColumn(
+        "session_no", F.sum(new_session).over(w)
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.max("session_value"), 4).alias("max_session_value"),
+        )
+    )
+
+
 def q_events_by_type(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -297,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_by_type": q_events_by_type,
+        "user_sessions": q_user_sessions,
     }
 
 
@@ -468,6 +499,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name
             ORDER BY total_spent DESC, c_custkey ASC
             LIMIT 20
+        """,
+        "user_sessions": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts) AS session_no
+                FROM g
+            ), agg AS (
+                SELECT user_id, session_no, count(*) AS n_events,
+                       round(sum(value), 4) AS session_value
+                FROM s GROUP BY user_id, session_no
+            )
+            SELECT user_id, max(session_no) AS n_sessions,
+                   sum(n_events) AS n_events,
+                   round(max(session_value), 4) AS max_session_value
+            FROM agg GROUP BY user_id
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,

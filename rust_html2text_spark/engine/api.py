@@ -46,6 +46,10 @@ class Config:
     add_agent_css: list = field(default_factory=list)
 
     def build_style_data(self) -> StyleData:
+        # cached: a Config is reused across a whole Arrow batch of documents
+        cached = getattr(self, "_style_cache", None)
+        if cached is not None:
+            return cached
         from . import cssparse
 
         sd = StyleData()
@@ -55,6 +59,7 @@ class Config:
             cssparse.add_css(sd.agent_rules, css, allow_extensions=True)
         for css in self.add_css:
             cssparse.add_css(sd.user_rules, css, allow_extensions=True)
+        object.__setattr__(self, "_style_cache", sd)
         return sd
 
     def make_decorator(self):

@@ -8,8 +8,14 @@ estimation (lib.rs:820-940, calc_ol_prefix_size lib.rs:3455-3465).
 
 from __future__ import annotations
 
+import re as _re
+
 from .styles import ComputedStyle, DEFAULT_STYLE
 from .textutil import always_takes_space, char_width, str_width, trim_collapsible_ws
+
+# printable ASCII + the ASCII whitespace subset of Unicode White_Space
+_SAFE_ASCII = _re.compile(r"[ -~\t\n\r\x0b\x0c]*")
+_ASCII_WS = _re.compile(r"[ \t\n\r\x0b\x0c]+")
 
 # node kinds
 TEXT = "Text"
@@ -105,17 +111,24 @@ class RenderNode:
         k = self.kind
         if k in (TEXT, IMG, SVG):
             t = self.text if k == TEXT else (self.extra or "")
-            length = 0
-            in_whitespace = False
-            for c in trim_collapsible_ws(t):
-                is_collapsible_ws = not always_takes_space(c)
-                if not is_collapsible_ws:
-                    w = char_width(c)
-                    if w > 0:
-                        length += w
-                    if in_whitespace:
-                        length += 1
-                in_whitespace = is_collapsible_ws
+            trimmed = trim_collapsible_ws(t)
+            if _SAFE_ASCII.fullmatch(trimmed):
+                # ASCII fast path: every non-ws char is width 1 and every
+                # internal whitespace run collapses to 1 cell.
+                parts = _ASCII_WS.split(trimmed)
+                length = sum(map(len, parts)) + max(len(parts) - 1, 0)
+            else:
+                length = 0
+                in_whitespace = False
+                for c in trimmed:
+                    is_collapsible_ws = not always_takes_space(c)
+                    if not is_collapsible_ws:
+                        w = char_width(c)
+                        if w > 0:
+                            length += w
+                        if in_whitespace:
+                            length += 1
+                    in_whitespace = is_collapsible_ws
             if t and not always_takes_space(t[0]) and length > 0:
                 length += 1
             if k == IMG:

@@ -290,6 +290,16 @@ class StyleData:
         self.user_rules.extend(other.user_rules)
         self.author_rules.extend(other.author_rules)
 
+    def _candidate_rules(self, rules: list[Ruleset], node):
+        """Skip rules whose rightmost component is an Element selector that
+        can't match this node (pure pre-filter; match order preserved)."""
+        name = node.name if node.kind == "element" else None
+        for rule in rules:
+            comps = rule.selector.components
+            if comps and comps[0].kind == C_ELEMENT and comps[0].name != name:
+                continue
+            yield rule
+
     def computed_style(self, parent_style: ComputedStyle, node, use_doc_css: bool) -> ComputedStyle:
         """css.rs:539-620."""
         result = parent_style.inherit()
@@ -298,7 +308,7 @@ class StyleData:
             (ORIGIN_USER, self.user_rules),
             (ORIGIN_AUTHOR, self.author_rules),
         ):
-            for rule in rules:
+            for rule in self._candidate_rules(rules, node):
                 if rule.selector.matches(node):
                     spec = rule.selector.specificity()
                     for style in rule.styles:

@@ -241,9 +241,12 @@ def parse_conf_closure(cur: Cursor) -> dict:
         name = m.group(1)
         cur.pos += m.end()
         cur.skip_ws_and_comments()
-        if name == "add_css":
+        if name in ("add_css", "add_agent_css"):
             css = parse_string_expr(cur)
-            conf.setdefault("add_css", []).append(css)
+            conf.setdefault(name, []).append(css)
+            cur.skip_ws_and_comments()
+            if cur.peek(1) == ",":
+                cur.pos += 1
             expect(cur, ")")
             cur.skip_ws_and_comments()
             # .unwrap()
@@ -268,6 +271,15 @@ def parse_conf_closure(cur: Cursor) -> dict:
             conf["image_mode"] = mode
             if mm.group(3) is not None:
                 conf["image_replace"] = mm.group(3)
+            expect(cur, ")")
+            continue
+        if name == "xml_mode":
+            cur.skip_ws_and_comments()
+            mm = re.match(r"(config::)?XmlMode::(\w+)", cur.src[cur.pos :])
+            if not mm:
+                raise Unsupported("non-literal xml mode")
+            cur.pos += mm.end()
+            conf["xml"] = {"Html": False, "Xhtml": True, "Auto": None}[mm.group(2)]
             expect(cur, ")")
             continue
         if name not in CONF_METHODS:

@@ -56,6 +56,8 @@ def build_config(fixture: dict) -> Config:
         config.draw_borders = False
     if "add_css" in conf:
         config.add_css = list(conf["add_css"])
+    if "add_agent_css" in conf:
+        config.add_agent_css = list(conf["add_agent_css"])
     return config
 
 
@@ -86,8 +88,8 @@ def test_golden(fixture):
     if fixture["name"] in SKIP:
         pytest.skip("not implemented")
     config = build_config(fixture)
-    if fixture.get("config", {}).get("xml"):
-        config.xml = True
+    if "xml" in fixture.get("config", {}):
+        config.xml = fixture["config"]["xml"]
     html = fixture["html"].encode("utf-8")
     width = fixture["width"]
     if "expected_error" in fixture:
