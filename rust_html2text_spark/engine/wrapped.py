@@ -246,44 +246,76 @@ class WrappedBlock:
                     self.word.push_char(c, (tag, ws_mode))
 
     def _add_text_normal(self, text: str, tag) -> None:
-        """Bulk variant of add_text for WhiteSpace::Normal: printable-ASCII
-        word runs append in one go; ASCII whitespace runs collapse to at
-        most one flush + one pending-space update; everything else falls
-        back to the exact per-char logic."""
+        """Bulk variant of add_text for WhiteSpace::Normal.
+
+        Complete printable-ASCII words followed by ASCII whitespace are
+        placed straight onto the line (one span push per word, no word
+        buffer round-trip) \u2014 byte-identical to flush_word's fitting /
+        overflow / hard-wrap branches for single-tag width-1 words.
+        Partial words (start/end of the call, or adjacent to non-ASCII
+        chars) go through the exact buffered path.
+        """
         wtag = (tag, WS_NORMAL)
-        word = self.word
-        line = self.line
-        for m in _NORMAL_RUNS.finditer(text):
-            kind = m.lastindex
-            g = m.group()
-            if kind == 1:  # printable ASCII, no whitespace: all width-1
-                self.wordlen += len(g)
-                word.push_str(TaggedString(g, wtag))
+        width = self.width
+        tokens = [(m.lastindex, m.group()) for m in _NORMAL_RUNS.finditer(text)]
+        ntok = len(tokens)
+        for ti in range(ntok):
+            kind, g = tokens[ti]
+            if kind == 1:  # printable ASCII word run (all width-1)
+                if (
+                    not self.word.v
+                    and (
+                        self.wslen == 0
+                        or (self.wslen == 1 and self.spacetag[1] == WS_NORMAL)
+                    )
+                    and ti + 1 < ntok
+                    and tokens[ti + 1][0] == 2
+                ):
+                    # complete word, clean state: place directly
+                    self.pre_wrapped = False
+                    line = self.line
+                    wl = len(g)
+                    if self.wslen + wl <= width - line.len:
+                        if self.wslen:
+                            st = self.spacetag
+                            self.spacetag = None
+                            self.wslen = 0
+                            line.push_str(TaggedString(" ", st))
+                        line.push_str(TaggedString(g, wtag))
+                    else:
+                        # overflow: drop the collapsed space, new line
+                        self.spacetag = None
+                        self.wslen = 0
+                        self.flush_line()
+                        if wl <= width:
+                            self.line.push_str(TaggedString(g, wtag))
+                        else:
+                            self.word.push_str(TaggedString(g, wtag))
+                            self.flush_word_hard_wrap()
+                else:
+                    self.wordlen += len(g)
+                    self.word.push_str(TaggedString(g, wtag))
             elif kind == 2:  # ASCII whitespace run
                 if self.wordlen > 0:
                     self.flush_word()
-                    word = self.word
-                    line = self.line
-                if line.len > 0 and self.wslen == 0:
+                if self.line.len > 0 and self.wslen == 0:
                     self.spacetag = wtag
                     self.wslen = 1
             else:  # single non-ASCII (or control) char: per-char semantics
                 c = g
                 if is_wordbreak_point(c) and self.wordlen > 0:
                     self.flush_word()
-                    word = self.word
-                    line = self.line
                 if c == "\u200b":
                     continue
                 if not always_takes_space(c):
-                    if line.len > 0 and self.wslen == 0:
+                    if self.line.len > 0 and self.wslen == 0:
                         self.spacetag = wtag
                         self.wslen = 1
                 else:
                     cwidth = char_width(c)
                     if cwidth >= 0:
                         self.wordlen += cwidth
-                        word.push_char(c, wtag)
+                        self.word.push_char(c, wtag)
 
     def add_element(self, elt: FragmentStart) -> None:
         self.word.push(elt)
