@@ -68,6 +68,16 @@ def main() -> None:
         timings["render_flagship"] = round(render_sec, 3)
         assert stats["n"] == n_docs, (stats["n"], n_docs)
 
+        # dedup-aware render (render distinct docs once, join back)
+        from rust_html2text_spark.operators.render import render_pages_deduped
+
+        t0 = time.monotonic()
+        dd = render_pages_deduped(pages, width=80).agg(
+            F.count("*").alias("n")
+        ).collect()[0]
+        timings["render_dedup"] = round(time.monotonic() - t0, 3)
+        assert dd["n"] == n_docs
+
         # secondary headline queries (JVM-side pipeline ops)
         for name in (
             "token_count",

@@ -153,6 +153,40 @@ def render_pages(
     return out
 
 
+def render_pages_deduped(
+    df: DataFrame,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Dedup-aware rendering: render each *distinct* document once, then
+    join results back to every url.
+
+    Web crawls are heavily duplicated (boilerplate mirrors, http/https
+    twins); rendering distinct payloads cuts the Python-side work by the
+    duplication factor at the cost of one extra shuffle on the content
+    hash.  The content hash doubles as the lineage key.
+    """
+    hashed = df.select(
+        "url", F.md5(F.col("html")).alias("content_hash"), "html"
+    )
+    distinct = hashed.select(
+        F.col("content_hash").alias("url"), "html"
+    ).dropDuplicates(["url"])
+    rendered = render_pages(
+        distinct,
+        width=width,
+        config_kwargs=config_kwargs,
+        num_partitions=num_partitions,
+        salt=salt,
+        outlier_bytes=None,
+    ).withColumnRenamed("url", "content_hash")
+    return hashed.select("url", "content_hash").join(
+        rendered, "content_hash"
+    ).select("url", "text", "error", "html_bytes", "text_bytes", "content_hash")
+
+
 def render_metrics(rendered: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics rows for the metrics table."""
     return (

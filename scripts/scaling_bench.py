@@ -79,7 +79,14 @@ def main() -> None:
                 "url"
             ),
             "warc_ts",
-            "html",
+            # distinct bytes per copy so dedup-aware paths can't shortcut
+            F.concat(
+                "html",
+                F.encode(
+                    F.concat(F.lit("<!--"), F.col("copy").cast("string"), F.lit("-->")),
+                    "UTF-8",
+                ),
+            ).alias("html"),
             "text",
             "lang",
         )
