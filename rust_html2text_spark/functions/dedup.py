@@ -51,15 +51,21 @@ def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, shingle_size: int = 3
 ) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
-    md5(shingle || '#i') (hex strings compare consistently everywhere)."""
-    shingles = word_shingles(shingle_size)
-    cols = [F.col("doc_id")]
-    for i in range(num_hashes):
-        h = F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{i}"))))
-        )
-        cols.append(h.alias(f"mh{i}"))
-    return docs.select(*cols)
+    md5(shingle || '#i') (hex strings compare consistently everywhere).
+
+    Formulated as explode → codegen'd md5 → groupBy-min rather than
+    higher-order array functions: HOF lambdas are interpreted in Spark,
+    while this shape is whole-stage-codegen with map-side partial min, so
+    the shuffle carries one row per doc, not per shingle.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(shingle_size)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
