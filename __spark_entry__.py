@@ -103,6 +103,22 @@ def q_render_rich_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.mapInPandas(batches, schema)
 
 
+def q_render_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_html2text_spark.operators.render import render_pages_deduped
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, sf_dir)
+    return render_pages_deduped(pages, width=WIDTH).select("url", "text", "error")
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_html2text_spark.functions.pipeline import training_pipeline
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, sf_dir)
+    return training_pipeline(pages, width=WIDTH)
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -310,6 +326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_flagship": q_render_flagship,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
+        "render_dedup": q_render_dedup,
+        "training_pipeline": q_training_pipeline,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,

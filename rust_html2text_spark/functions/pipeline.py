@@ -1,0 +1,60 @@
+"""End-to-end training-data pipeline: extract → score → filter → dedup.
+
+The composed production flow over a Common-Crawl-style pages table:
+1. render HTML→text (the engine, Arrow-batched)
+2. quality scoring + language ID on the *extracted* text (built-ins)
+3. quality/lang filters
+4. exact dedup on the normalized extracted text (first url per group wins)
+
+Everything after the render stage is whole-stage-codegen; the dedup is a
+single hash aggregation on the text fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rust_html2text_spark.operators.render import render_pages
+
+
+def training_pipeline(
+    pages: DataFrame,
+    width: int = 80,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """pages(url, html, ...) → deduped, quality-filtered corpus rows."""
+    from rust_html2text_spark.functions.textstats import (
+        EN_STOPWORDS,
+        _stopword_hits,
+        tokens_col,
+    )
+
+    rendered = render_pages(pages, width=width).filter(F.col("error").isNull())
+
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    sw = _stopword_hits(toks, EN_STOPWORDS)
+    quality = (n_alpha / n_chars) * 0.5 + (sw / n_tokens) * 0.5
+
+    scored = rendered.select(
+        "url",
+        "text",
+        "text_bytes",
+        n_tokens.alias("n_tokens"),
+        F.round(quality, 6).alias("quality"),
+    ).filter(F.col("quality") >= min_quality)
+
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    fingerprinted = scored.withColumn("fingerprint", F.md5(normalized))
+    # keep the lexicographically-first url per identical document
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("url")
+    return (
+        fingerprinted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "text", "n_tokens", "quality", "fingerprint")
+    )
