@@ -277,6 +277,7 @@ class StyleData:
         self.agent_rules: list[Ruleset] = []
         self.user_rules: list[Ruleset] = []
         self.author_rules: list[Ruleset] = []
+        self._index = None
 
     def clone(self) -> "StyleData":
         out = StyleData()
@@ -289,37 +290,66 @@ class StyleData:
         self.agent_rules.extend(other.agent_rules)
         self.user_rules.extend(other.user_rules)
         self.author_rules.extend(other.author_rules)
+        self._index = None
 
-    def _candidate_rules(self, rules: list[Ruleset], node):
-        """Skip rules whose rightmost component is an Element selector that
-        can't match this node (pure pre-filter; match order preserved)."""
-        name = node.name if node.kind == "element" else None
-        for rule in rules:
+    def _index_for(self, origin: int, rules: list[Ruleset]):
+        """Pre-filter index: rules keyed by rightmost Element name (falling
+        back to a generic bucket).  Match ORDER within each candidate list
+        is preserved (same origin ordering as the flat scan)."""
+        by_element: dict = {}
+        generic: list = []
+        for order, rule in enumerate(rules):
             comps = rule.selector.components
-            if comps and comps[0].kind == C_ELEMENT and comps[0].name != name:
-                continue
-            yield rule
+            spec = rule.selector.specificity()
+            entry = (order, origin, rule, spec)
+            if comps and comps[0].kind == C_ELEMENT:
+                by_element.setdefault(comps[0].name, []).append(entry)
+            else:
+                generic.append(entry)
+        return by_element, generic
+
+    def _get_index(self):
+        idx = getattr(self, "_index", None)
+        if idx is None:
+            idx = [
+                self._index_for(ORIGIN_AGENT, self.agent_rules),
+                self._index_for(ORIGIN_USER, self.user_rules),
+                self._index_for(ORIGIN_AUTHOR, self.author_rules),
+            ]
+            self._index = idx
+        return idx
 
     def computed_style(self, parent_style: ComputedStyle, node, use_doc_css: bool) -> ComputedStyle:
         """css.rs:539-620."""
-        result = parent_style.inherit()
-        for origin, rules in (
-            (ORIGIN_AGENT, self.agent_rules),
-            (ORIGIN_USER, self.user_rules),
-            (ORIGIN_AUTHOR, self.author_rules),
-        ):
-            for rule in self._candidate_rules(rules, node):
+        name = node.name if node.kind == "element" else None
+        matched = []
+        for by_element, generic in self._get_index():
+            elem_cands = by_element.get(name)
+            if elem_cands is None:
+                cands = generic
+            elif not generic:
+                cands = elem_cands
+            else:  # merge back into declaration order within the origin
+                cands = sorted(generic + elem_cands)
+            for _order, origin, rule, spec in cands:
                 if rule.selector.matches(node):
-                    spec = rule.selector.specificity()
-                    for style in rule.styles:
-                        _merge_computed_style(
-                            result,
-                            style.important,
-                            origin,
-                            spec,
-                            rule.selector.pseudo_element,
-                            style,
-                        )
+                    matched.append((origin, rule, spec))
+
+        if not matched and not use_doc_css:
+            # nothing to cascade: the inherited style is unchanged — share it
+            return parent_style
+
+        result = parent_style.inherit()
+        for origin, rule, spec in matched:
+            for style in rule.styles:
+                _merge_computed_style(
+                    result,
+                    style.important,
+                    origin,
+                    spec,
+                    rule.selector.pseudo_element,
+                    style,
+                )
 
         if use_doc_css and node.kind == "element":
             from . import cssparse
