@@ -76,6 +76,16 @@ class TaggedLine:
                     return
             self.v.append(ts)
 
+    def push_known(self, s: str, tag, width: int) -> None:
+        """push_str for callers that already know the display width."""
+        self.len += width
+        if self.v:
+            prev = self.v[-1]
+            if isinstance(prev, TaggedString) and prev.tag == tag:
+                prev.s += s
+                return
+        self.v.append(TaggedString(s, tag))
+
     def push(self, elt) -> None:
         if isinstance(elt, TaggedString):
             self.push_str(elt)

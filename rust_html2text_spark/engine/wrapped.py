@@ -280,8 +280,11 @@ class WrappedBlock:
                             st = self.spacetag
                             self.spacetag = None
                             self.wslen = 0
-                            line.push_str(TaggedString(" ", st))
-                        line.push_str(TaggedString(g, wtag))
+                            if st == wtag:
+                                line.push_known(" " + g, wtag, wl + 1)
+                                continue
+                            line.push_known(" ", st, 1)
+                        line.push_known(g, wtag, wl)
                     else:
                         # overflow: drop the collapsed space, new line
                         self.spacetag = None
