@@ -1,0 +1,52 @@
+"""Rich-line output tests: fragment markers and annotated spans
+(reference tests.rs frag_simple/frag_list at 2768-2816, plus rich
+annotation spot checks)."""
+
+from __future__ import annotations
+
+from rust_html2text_spark.engine.api import html_to_lines, plain_config, rich_config
+from rust_html2text_spark.engine.taggedline import FragmentStart, TaggedString
+
+
+def line_elements(line):
+    out = []
+    for e in line.v:
+        if isinstance(e, TaggedString):
+            out.append(("str", e.s, e.tag))
+        elif isinstance(e, FragmentStart):
+            out.append(("frag", e.name))
+    return out
+
+
+def test_frag_simple():
+    lines = html_to_lines(b'<p id="my_id">Hi</p>', 10, plain_config())
+    assert [line_elements(l) for l in lines] == [
+        [("frag", "my_id"), ("str", "Hi", ())]
+    ]
+
+
+def test_frag_list():
+    html = b"""<ul id="my_id">
+            <li>One</li>
+            <li>Two</li>
+        </ul>"""
+    lines = html_to_lines(html, 10, plain_config())
+    assert [line_elements(l) for l in lines] == [
+        [("frag", "my_id"), ("str", "* One", ())],
+        [("str", "* Two", ())],
+    ]
+
+
+def test_rich_annotations_link():
+    lines = html_to_lines(b'<p>go <a href="http://x/">there</a></p>', 80, rich_config())
+    spans = [(ts.s, ts.tag) for l in lines for ts in l.tagged_strings()]
+    assert spans == [("go ", ()), ("there", (("Link", "http://x/"),))]
+
+
+def test_rich_annotations_nested():
+    lines = html_to_lines(b"<p><em>a<strong>b</strong></em></p>", 80, rich_config())
+    spans = [(ts.s, ts.tag) for l in lines for ts in l.tagged_strings()]
+    assert spans == [
+        ("a", (("Emphasis",),)),
+        ("b", (("Emphasis",), ("Strong",))),
+    ]

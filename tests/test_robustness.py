@@ -1,0 +1,49 @@
+"""Robustness: arbitrary malformed input must produce a string or a
+RenderError — never an unhandled exception (the operator contract: a bad
+row becomes an `error` value, not a task failure)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rust_html2text_spark.engine.api import html_to_text
+from rust_html2text_spark.engine.errors import RenderError
+
+FRAGMENTS = [
+    "<table>", "</table>", "<tr>", "<td>", "</td>", "</tr>", "<p>", "</p>",
+    "<ul>", "<li>", "</ul>", "<div>", "</div>", "<a href='x'>", "</a>",
+    "<pre>", "</pre>", "<b>", "<em>", "</em>", "<h1>", "</h3>", "<br>",
+    "<img src='y'>", "<span>", "</span>", "<blockquote>", "</blockquote>",
+    "text here ", "&amp; &nonsense; &#65; &#xZZ;", "<!-- comment ",
+    "<!DOCTYPE html>", "<?php ?>", "<![CDATA[junk]]>", "<dl><dt>t<dd>d",
+    "\x00\x01", "🎉 日本語 \xa0", "<<<>>>", "<td colspan='999999999'>",
+    "<td rowspan='-3'>", "<ol start='zzz'><li>x", "<table><table><table>",
+    "<style>p { color: }</style>", "<svg><circle/></svg>",
+    "<foo bar='", "<a name=frag id=",
+]
+
+
+def test_fuzz_no_crash():
+    rng = random.Random(1234)
+    for trial in range(300):
+        html = "".join(
+            rng.choice(FRAGMENTS) for _ in range(rng.randint(1, 30))
+        ).encode("utf-8")
+        width = rng.choice([1, 3, 10, 80])
+        try:
+            out = html_to_text(html, width)
+            assert isinstance(out, str)
+        except RenderError:
+            pass  # legitimate (e.g. TooNarrow)
+
+
+def test_invalid_utf8_replaced():
+    out = html_to_text(b"<p>ok \xff\xfe bytes</p>", 80)
+    assert "ok" in out
+
+
+def test_zero_width_errors():
+    with pytest.raises(RenderError):
+        html_to_text(b"<p>x</p>", 0)
