@@ -14,7 +14,6 @@ from . import nodes as N
 from .fold import Finished, NOTHING_SENTINEL, Pending, tree_map_reduce
 from .nodes import RenderNode
 from .subrender import SubRenderer, TextRenderer
-from .taggedline import RenderLine
 from .wrapped import WS_PRE, WS_PRE_WRAP
 
 SUPERSCRIPTS = "⁰¹²³⁴⁵⁶⁷⁸⁹"

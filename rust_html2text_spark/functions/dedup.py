@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from .textstats import tokens_col
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:

@@ -70,7 +70,7 @@ def hyperplane_sign_bits(emb_col, num_planes: int = 8, dim: int = 16):
     bits = []
     for p in range(num_planes):
         signs = [
-            1.0 if (hash_val := (p * 1315423911 + j * 2654435761) % 7) < 4 else -1.0
+            1.0 if (p * 1315423911 + j * 2654435761) % 7 < 4 else -1.0
             for j in range(dim)
         ]
         signs_arr = F.array(*[F.lit(s) for s in signs])

@@ -10,13 +10,6 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-_CHUNK = None
-
-
-def _init(chunks, idx_queue):
-    pass
-
-
 def work(chunk):
     from rust_html2text_spark.engine.api import html_to_text
     from rust_html2text_spark.engine.errors import RenderError
