@@ -74,6 +74,12 @@ def q_render_rich_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys as _sys
+
+        _repo = os.path.dirname(os.path.abspath(__file__)) if "__file__" in dir() else "/root/repo"
+        if _repo not in _sys.path:
+            _sys.path.insert(0, _repo)
         from rust_html2text_spark.engine.api import html_to_lines
 
         for batch in it:
@@ -200,6 +206,12 @@ def q_simhash(spark, sf_dir):
     from rust_html2text_spark.functions.dedup import simhash
 
     return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from rust_html2text_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=16)
 
 
 # --- similarity search ----------------------------------------------------------
@@ -338,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_dups": q_embedding_dups,

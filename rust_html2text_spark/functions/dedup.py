@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -158,7 +157,8 @@ def simhash_py(text: str, bits: int = 64) -> int:
     for b in range(bits):
         if acc[b] >= 0:
             out |= 1 << b
-    return out - (1 << 63)  # two's-complement into signed int64
+    # two's-complement into signed int64 (so XOR/hamming relationships hold)
+    return out - (1 << 64) if out >= (1 << 63) else out
 
 
 @pandas_udf(LongType())
@@ -168,3 +168,44 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 def simhash(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.  At scale this is
+    banded like MinHash (split the 64 bits into 4 x 16-bit keys: any pair
+    within hamming<=3 shares at least one exact 16-bit band)."""
+    s = simhash(docs)
+    bands = []
+    for b in range(4):
+        bands.append(
+            s.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for other in bands[1:]:
+        all_bands = all_bands.unionByName(other)
+    l = all_bands.alias("l")
+    r = all_bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
