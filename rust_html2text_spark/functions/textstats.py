@@ -31,8 +31,17 @@ def token_count(docs: DataFrame) -> DataFrame:
 
 
 def _stopword_hits(tokens, words: list[str]):
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, F.lower(t))))
+    """Count tokens equal (case-insensitively) to any stopword.
+
+    Implemented as a codegen'd regex count over the raw text rather than a
+    higher-order filter over the token array: HOF lambdas are interpreted
+    per element in Spark, while regexp_count stays inside whole-stage
+    codegen.  Token boundaries are the same ASCII \\s splits as
+    `tokens_col`, so the count is identical to filtering the token array.
+    """
+    alts = "|".join(words)
+    pattern = rf"(?:(?<=\s)|^)(?:{alts})(?:(?=\s)|$)"
+    return F.regexp_count(F.lower(F.trim(F.col("text"))), F.lit(pattern))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
