@@ -58,6 +58,9 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=50)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="repeat measurements; keep best per level "
+                         "(the VM host has noisy neighbours)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -97,32 +100,38 @@ def main() -> None:
 
     # host ceiling: the same render kernel via raw multiprocessing, pinned
     # to the same CPU sets — isolates machine effects (turbo clocks, memory
-    # bandwidth) from Spark overhead.
+    # bandwidth) from Spark overhead.  Best-of-`passes` per level: the VM
+    # shares a physical host with noisy neighbours.
+    levels = [int(x) for x in args.levels.split(",")]
     ceiling = {}
-    for cpus in [int(x) for x in args.levels.split(",")]:
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-             str(REPO / "scripts" / "_raw_ceiling.py"), str(cpus), pages_path],
-            capture_output=True, text=True, check=True,
-        )
-        ceiling[cpus] = json.loads(out.stdout.splitlines()[-1])
-        print("ceiling:", ceiling[cpus])
-
-    results = []
-    for cpus in [int(x) for x in args.levels.split(",")]:
-        # pin the whole process tree (JVM + Python workers) to `cpus`
-        # physical cores — a faithful N-executor-cluster proxy; without
-        # this, local[8]'s Python workers overflow onto the other 24 cores.
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
-             worker_src, str(cpus), pages_path],
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results.append(json.loads(line))
-        print(line)
+    best = {}
+    for _pass in range(args.passes):
+        for cpus in levels:
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 str(REPO / "scripts" / "_raw_ceiling.py"), str(cpus), pages_path],
+                capture_output=True, text=True, check=True,
+            )
+            c = json.loads(out.stdout.splitlines()[-1])
+            if cpus not in ceiling or c["docs_per_sec"] > ceiling[cpus]["docs_per_sec"]:
+                ceiling[cpus] = c
+            print("ceiling:", c)
+            # pin the whole process tree (JVM + Python workers) to `cpus`
+            # physical cores — a faithful N-executor-cluster proxy; without
+            # this, local[8]'s Python workers overflow onto the other cores.
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+                 worker_src, str(cpus), pages_path],
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if cpus not in best or r["docs_per_sec"] > best[cpus]["docs_per_sec"]:
+                best[cpus] = r
+            print(line)
+    results = [best[c] for c in levels]
 
     lo, hi = results[0], results[-1]
     core_ratio = hi["cpus"] / lo["cpus"]
