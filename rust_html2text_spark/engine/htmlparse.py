@@ -395,17 +395,214 @@ class TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(data: bytes | str, xml_mode: bool | None = None) -> DomNode:
+# --- fast single-pass tokenizer ------------------------------------------
+#
+# Behaviour-identical to html.parser.HTMLParser with convert_charrefs=True
+# fed the whole document at once (we reuse its tolerant regexes), minus the
+# incremental-feed bookkeeping (updatepos line tracking, buffer re-slicing)
+# that dominates its cost.  Differential-tested against HTMLParser in
+# tests/test_htmlparse_differential.py.
+
+import re as _re
+
+from html import unescape as _unescape
+from html.parser import (
+    attrfind_tolerant as _attrfind,
+    charref as _charref,  # noqa: F401  (documenting provenance)
+    locatestarttagend_tolerant as _locatestarttagend,
+    tagfind_tolerant as _tagfind,
+)
+
+_commentclose = _re.compile(r"--\s*>")
+_endtagfind = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_markedclose = _re.compile(r"]\s*]\s*>")
+_msmarkedclose = _re.compile(r"]\s*>")
+_CDATA_ELEMS = ("script", "style")
+_cdata_res = {
+    elem: _re.compile(r"</\s*%s\s*>" % elem, _re.I) for elem in _CDATA_ELEMS
+}
+
+
+def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
+    i = 0
+    n = len(rawdata)
+    cdata_elem = None
+    cdata_re = None
+    find = rawdata.find
+    startswith = rawdata.startswith
+    handle_data = builder.handle_data
+    while i < n:
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+        else:
+            m = cdata_re.search(rawdata, i)
+            if m:
+                j = m.start()
+            else:
+                return  # unterminated cdata: trailing data dropped
+        if i < j:
+            seg = rawdata[i:j]
+            if cdata_elem is None and "&" in seg:
+                seg = _unescape(seg)
+            handle_data(seg)
+        i = j
+        if i == n:
+            break
+        # rawdata[i] == '<'
+        c = rawdata[i + 1] if i + 1 < n else ""
+        k = -1
+        if c.isalpha() and c.isascii():
+            # start tag (parse_starttag, html/parser.py:300-340)
+            m = _locatestarttagend.match(rawdata, i)
+            endpos = -1
+            if m:
+                j2 = m.end()
+                nxt = rawdata[j2 : j2 + 1]
+                if nxt == ">":
+                    endpos = j2 + 1
+                elif nxt == "/":
+                    if startswith("/>", j2):
+                        endpos = j2 + 2
+                    else:
+                        endpos = j2 if j2 > i else i + 1
+                elif nxt == "":
+                    endpos = -1
+                elif nxt in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+                    endpos = -1
+                else:
+                    endpos = j2 if j2 > i else i + 1
+            if endpos >= 0:
+                tm = _tagfind.match(rawdata, i + 1)
+                kk = tm.end()
+                tag = tm.group(1).lower()
+                attrs = []
+                while kk < endpos:
+                    am = _attrfind.match(rawdata, kk)
+                    if not am:
+                        break
+                    attrname, rest, attrvalue = am.group(1, 2, 3)
+                    if not rest:
+                        attrvalue = None
+                    elif (
+                        attrvalue[:1] == "'" == attrvalue[-1:]
+                        or attrvalue[:1] == '"' == attrvalue[-1:]
+                    ):
+                        attrvalue = attrvalue[1:-1]
+                    if attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    attrs.append((attrname.lower(), attrvalue))
+                    kk = am.end()
+                endmark = rawdata[kk:endpos].strip()
+                if endmark not in (">", "/>"):
+                    handle_data(rawdata[i:endpos])
+                    k = endpos
+                elif endmark.endswith("/>"):
+                    builder.handle_startendtag(tag, attrs)
+                    k = endpos
+                else:
+                    builder.handle_starttag(tag, attrs)
+                    if tag in _CDATA_ELEMS:
+                        cdata_elem = tag
+                        cdata_re = _cdata_res[tag]
+                    k = endpos
+        elif c == "/":
+            # end tag (parse_endtag, html/parser.py:378-415)
+            gt = find(">", i + 1)
+            if gt < 0:
+                k = -1
+            else:
+                gtpos = gt + 1
+                m = _endtagfind.match(rawdata, i)
+                if not m:
+                    if cdata_elem is not None:
+                        handle_data(rawdata[i:gtpos])
+                        k = gtpos
+                    else:
+                        nm = _tagfind.match(rawdata, i + 2)
+                        if not nm:
+                            if rawdata[i : i + 3] == "</>":
+                                k = i + 3
+                            else:  # bogus comment
+                                pos = find(">", i + 2)
+                                k = -1 if pos == -1 else pos + 1
+                        else:
+                            tagname = nm.group(1).lower()
+                            gt2 = find(">", nm.end())
+                            builder.handle_endtag(tagname)
+                            k = gt2 + 1  # mirrors stdlib (gt2 may be -1 → 0)
+                else:
+                    elem = m.group(1).lower()
+                    if cdata_elem is not None and elem != cdata_elem:
+                        handle_data(rawdata[i:gtpos])
+                        k = gtpos
+                    else:
+                        builder.handle_endtag(elem)
+                        cdata_elem = None
+                        cdata_re = None
+                        k = gtpos
+        elif startswith("<!--", i):
+            m = _commentclose.search(rawdata, i + 4)
+            if m:
+                builder.handle_comment(rawdata[i + 4 : m.start()])
+                k = m.end()
+            else:
+                k = -1
+        elif c == "?":
+            gt = find(">", i + 2)
+            k = -1 if gt < 0 else gt + 1
+        elif c == "!":
+            if startswith("<![", i):
+                nm = _re.match(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*", rawdata[i + 3 :])
+                sect = nm.group(0).strip().lower() if nm else ""
+                if sect in ("if", "else", "endif"):
+                    m = _msmarkedclose.search(rawdata, i + 3)
+                else:
+                    m = _markedclose.search(rawdata, i + 3)
+                k = m.end() if m else -1
+            elif rawdata[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                k = -1 if gt == -1 else gt + 1
+            else:  # bogus comment
+                pos = find(">", i + 2)
+                k = -1 if pos == -1 else pos + 1
+        elif i + 1 < n:
+            handle_data("<")
+            k = i + 1
+        else:
+            break
+        if k < 0:
+            # unterminated construct at EOF (goahead end=1 recovery)
+            k = find(">", i + 1)
+            if k < 0:
+                k = find("<", i + 1)
+                if k < 0:
+                    k = i + 1
+            else:
+                k += 1
+            seg = rawdata[i:k]
+            if cdata_elem is None and "&" in seg:
+                seg = _unescape(seg)
+            handle_data(seg)
+        i = k
+
+
+def parse_html(data: bytes | str, xml_mode: bool | None = None, fast: bool = True) -> DomNode:
     """Parse HTML bytes/str into a DOM Document node.
 
     xml_mode=None sniffs the first 5 bytes for `<?xml` (XmlMode::Auto,
-    lib.rs:2983-2995)."""
+    lib.rs:2983-2995).  fast=False uses the stdlib HTMLParser driver
+    (reference implementation for differential testing)."""
     if isinstance(data, (bytes, bytearray)):
         data = data.decode("utf-8", errors="replace")
     if xml_mode is None:
         xml_mode = data.startswith("<?xml")
     builder = TreeBuilder(xml_mode)
-    builder.feed(data)
-    builder.close()
+    if fast:
+        _fast_feed(builder, data)
+    else:
+        builder.feed(data)
+        builder.close()
     builder._ensure_body()
     return builder.doc
