@@ -26,8 +26,10 @@ WS_PRE_WRAP = 2
 
 import re as _re
 
-# printable-ASCII word runs | ASCII whitespace runs | any single other char
-_NORMAL_RUNS = _re.compile(r"([!-~]+)|([ \t\n\r\x0b\x0c]+)|(.)", _re.S)
+# printable-ASCII word run (+optional trailing ASCII ws) | ws run | other char
+_NORMAL_RUNS = _re.compile(
+    r"([!-~]+)([ \t\n\r\x0b\x0c]+)?|([ \t\n\r\x0b\x0c]+)|(.)", _re.S
+)
 
 
 def preserve_whitespace(ws_mode: int) -> bool:
@@ -257,19 +259,17 @@ class WrappedBlock:
         """
         wtag = (tag, WS_NORMAL)
         width = self.width
-        tokens = [(m.lastindex, m.group()) for m in _NORMAL_RUNS.finditer(text)]
-        ntok = len(tokens)
-        for ti in range(ntok):
-            kind, g = tokens[ti]
-            if kind == 1:  # printable ASCII word run (all width-1)
+        for m in _NORMAL_RUNS.finditer(text):
+            g = m.group(1)
+            if g is not None:  # printable ASCII word run (all width-1)
+                complete = m.group(2) is not None  # ASCII ws follows
                 if (
-                    not self.word.v
+                    complete
+                    and not self.word.v
                     and (
                         self.wslen == 0
                         or (self.wslen == 1 and self.spacetag[1] == WS_NORMAL)
                     )
-                    and ti + 1 < ntok
-                    and tokens[ti + 1][0] == 2
                 ):
                     # complete word, clean state: place directly
                     self.pre_wrapped = False
@@ -282,9 +282,11 @@ class WrappedBlock:
                             self.wslen = 0
                             if st == wtag:
                                 line.push_known(" " + g, wtag, wl + 1)
-                                continue
-                            line.push_known(" ", st, 1)
-                        line.push_known(g, wtag, wl)
+                            else:
+                                line.push_known(" ", st, 1)
+                                line.push_known(g, wtag, wl)
+                        else:
+                            line.push_known(g, wtag, wl)
                     else:
                         # overflow: drop the collapsed space, new line
                         self.spacetag = None
@@ -295,30 +297,43 @@ class WrappedBlock:
                         else:
                             self.word.push_str(TaggedString(g, wtag))
                             self.flush_word_hard_wrap()
-                else:
-                    self.wordlen += len(g)
-                    self.word.push_str(TaggedString(g, wtag))
-            elif kind == 2:  # ASCII whitespace run
+                    # the trailing whitespace run: set the pending space
+                    if self.line.len > 0:
+                        self.spacetag = wtag
+                        self.wslen = 1
+                    continue
+                # buffered path
+                self.wordlen += len(g)
+                self.word.push_str(TaggedString(g, wtag))
+                if complete:
+                    if self.wordlen > 0:
+                        self.flush_word()
+                    if self.line.len > 0 and self.wslen == 0:
+                        self.spacetag = wtag
+                        self.wslen = 1
+                continue
+            g = m.group(3)
+            if g is not None:  # ASCII whitespace run (no preceding word)
                 if self.wordlen > 0:
                     self.flush_word()
                 if self.line.len > 0 and self.wslen == 0:
                     self.spacetag = wtag
                     self.wslen = 1
-            else:  # single non-ASCII (or control) char: per-char semantics
-                c = g
-                if is_wordbreak_point(c) and self.wordlen > 0:
-                    self.flush_word()
-                if c == "\u200b":
-                    continue
-                if not always_takes_space(c):
-                    if self.line.len > 0 and self.wslen == 0:
-                        self.spacetag = wtag
-                        self.wslen = 1
-                else:
-                    cwidth = char_width(c)
-                    if cwidth >= 0:
-                        self.wordlen += cwidth
-                        self.word.push_char(c, wtag)
+                continue
+            c = m.group(4)  # single non-ASCII (or control) char
+            if is_wordbreak_point(c) and self.wordlen > 0:
+                self.flush_word()
+            if c == "\u200b":
+                continue
+            if not always_takes_space(c):
+                if self.line.len > 0 and self.wslen == 0:
+                    self.spacetag = wtag
+                    self.wslen = 1
+            else:
+                cwidth = char_width(c)
+                if cwidth >= 0:
+                    self.wordlen += cwidth
+                    self.word.push_char(c, wtag)
 
     def add_element(self, elt: FragmentStart) -> None:
         self.word.push(elt)
