@@ -78,11 +78,14 @@ def _render_batch_fn(width: int, config_kwargs: dict):
         for batch in batches:
             urls = batch["url"]
             htmls = batch["html"]
+            # optional per-row width column (falls back to the job width)
+            widths = batch["width"] if "width" in batch.columns else None
             texts: list[str | None] = []
             errors: list[str | None] = []
             html_bytes: list[int] = []
             text_bytes: list[int] = []
-            for html in htmls:
+            for rowno, html in enumerate(htmls):
+                row_width = int(widths.iloc[rowno]) if widths is not None else width
                 if html is None:
                     texts.append(None)
                     errors.append("NullInput")
@@ -93,7 +96,7 @@ def _render_batch_fn(width: int, config_kwargs: dict):
                     html = html.encode("utf-8")
                 html_bytes.append(len(html))
                 try:
-                    text = html_to_text(html, width, config)
+                    text = html_to_text(html, row_width, config)
                     texts.append(text)
                     errors.append(None)
                     text_bytes.append(len(text.encode("utf-8")))
@@ -130,7 +133,10 @@ def render_pages(
 
     Only url+html are read — column pruning keeps the scan narrow.
     """
-    pages = df.select("url", "html")
+    cols = ["url", "html"]
+    if "width" in df.columns:
+        cols.append("width")
+    pages = df.select(*cols)
     if outlier_bytes is not None:
         pages = pages.withColumn("_oversized", F.length("html") > outlier_bytes)
         normal = pages.filter(~F.col("_oversized")).drop("_oversized")

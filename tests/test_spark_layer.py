@@ -151,3 +151,25 @@ def test_knn_lsh_recall_sane(spark):
         key = (r.query_id, r.neighbor_id)
         if key in bf_scores:
             assert abs(bf_scores[key] - r.cosine) < 1e-9
+
+
+def test_full_golden_corpus_through_spark(spark):
+    """Every default-config golden fixture rendered end-to-end through the
+    Spark operator at its own width must match the reference expectation
+    byte-for-byte (the north rule's per-url invariant, at the DataFrame
+    level)."""
+    cases = [
+        (f"u{i}", f["html"].encode("utf-8"), f["width"], f["expected"])
+        for i, f in enumerate(FIXTURES)
+        if "expected" in f and not f.get("config", {})  # default config only
+    ]
+    assert len(cases) > 100
+    from rust_html2text_spark.operators.render import render_pages
+
+    df = spark.createDataFrame(
+        [(u, h, w) for u, h, w, _ in cases], "url string, html binary, width int"
+    )
+    out = {r["url"]: r for r in render_pages(df).collect()}
+    for url, _html, _w, expected in cases:
+        assert out[url]["error"] is None, url
+        assert out[url]["text"] == expected, url
