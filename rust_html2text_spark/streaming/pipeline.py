@@ -40,6 +40,64 @@ def render_stream(pages: DataFrame, width: int = 80, config_kwargs: dict | None 
     return pages.select("url", "html").mapInPandas(fn, RENDER_SCHEMA)
 
 
+def crawl_rate_metrics(
+    rendered_stream: DataFrame,
+    ts_col: str = "warc_ts",
+    window_minutes: int = 5,
+    watermark_minutes: int = 10,
+) -> DataFrame:
+    """Event-time windowed ingest metrics with late-data handling: docs and
+    bytes per `window_minutes` tumbling window, tolerating events up to
+    `watermark_minutes` late (watermark bounds the state store)."""
+    from pyspark.sql import functions as F
+
+    return (
+        rendered_stream.withWatermark(ts_col, f"{watermark_minutes} minutes")
+        .groupBy(F.window(F.col(ts_col), f"{window_minutes} minutes"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("text_bytes").alias("text_bytes"),
+            F.sum(
+                F.when(F.col("error").isNull(), 0).otherwise(1)
+            ).alias("errors"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "docs",
+            "text_bytes",
+            "errors",
+        )
+    )
+
+
+def render_stream_with_ts(pages: DataFrame, width: int = 80) -> DataFrame:
+    """Streaming render that keeps the event timestamp for windowed metrics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, TimestampType
+
+    schema = RENDER_SCHEMA.add(StructField("warc_ts", TimestampType()))
+    fn = _render_batch_fn(width, {})
+
+    def batches(it):
+        import pandas as pd
+
+        ts_by_url = {}
+
+        def inner(batch_iter):
+            for batch in batch_iter:
+                for u, t in zip(batch["url"], batch["warc_ts"]):
+                    ts_by_url[u] = t
+                yield batch[["url", "html"]]
+
+        for out in fn(inner(it)):
+            out = out.copy()
+            out["warc_ts"] = out["url"].map(ts_by_url)
+            yield out
+
+    return pages.select("url", "html", "warc_ts").mapInPandas(batches, schema)
+
+
 def start_render_stream(
     spark: SparkSession,
     input_path: str,

@@ -173,3 +173,41 @@ def test_full_golden_corpus_through_spark(spark):
     for url, _html, _w, expected in cases:
         assert out[url]["error"] is None, url
         assert out[url]["text"] == expected, url
+
+
+def test_streaming_windowed_metrics(spark, tmp_path):
+    """Event-time windowed crawl metrics with watermark over a file stream."""
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.streaming.pipeline import (
+        crawl_rate_metrics,
+        render_stream_with_ts,
+        stream_pages,
+    )
+
+    pages = load_pages(spark, SF_DIR).limit(60)
+    inp = str(tmp_path / "in")
+    pages.write.parquet(inp)
+
+    stream = stream_pages(spark, inp)
+    metrics = crawl_rate_metrics(render_stream_with_ts(stream))
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("crawl_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from crawl_metrics").collect()
+    # append mode only emits windows the watermark has passed; with a finite
+    # file stream the final windows stay open, so just check plumbing + types
+    total = spark.sql("select sum(docs) d from crawl_metrics").collect()[0]["d"]
+    assert total is None or total <= 60
+    assert {c for c in spark.table("crawl_metrics").columns} == {
+        "window_start",
+        "window_end",
+        "docs",
+        "text_bytes",
+        "errors",
+    }
