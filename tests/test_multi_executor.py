@@ -1,0 +1,50 @@
+"""Multi-executor deployment test: real executor JVMs (local-cluster mode)
+with the package shipped via the --py-files zip — the north rule's
+`spark-submit --py-files` path, minus only the network."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+pytest.importorskip("pyspark")
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_local_cluster_render(tmp_path):
+    subprocess.run(["sh", str(REPO / "scripts/package_pyfiles.sh")], check=True)
+    script = f"""
+import sys, os
+os.chdir({str(tmp_path)!r})  # workers must not rely on cwd
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.appName("cluster-test")
+    .master("local-cluster[2,2,1024]")
+    .config("spark.submit.pyFiles", {str(REPO / 'dist/rust_html2text_spark.zip')!r})
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.executor.memory", "1g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.sparkContext.addPyFile({str(REPO / 'dist/rust_html2text_spark.zip')!r})
+from rust_html2text_spark.sources.corpus import load_pages
+from rust_html2text_spark.operators.render import render_pages
+pages = load_pages(spark, "/root/testdata/sf0.001").limit(100)
+stats = render_pages(pages, width=80).agg(
+    F.count("*").alias("n"),
+    F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
+).collect()[0]
+assert stats["n"] == 100 and stats["err"] == 0, stats
+print("MULTI_EXECUTOR_OK")
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "MULTI_EXECUTOR_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
