@@ -44,6 +44,8 @@ class Config:
     xml: bool | None = None  # None = auto-sniff
     add_css: list = field(default_factory=list)
     add_agent_css: list = field(default_factory=list)
+    # css_ext: name → highlighter(text) -> list[(start, end, fg, bg|None)]
+    syntax_highlighters: dict = field(default_factory=dict)
 
     def build_style_data(self) -> StyleData:
         # cached: a Config is reused across a whole Arrow batch of documents
@@ -112,6 +114,7 @@ class _HtmlContext:
         "use_unicode_strikeout",
         "image_mode",
         "parent_style",
+        "syntax_highlighters",
     )
 
     def __init__(self, config: Config):
@@ -129,6 +132,7 @@ class _HtmlContext:
         self.use_unicode_strikeout = config.unicode_strikeout
         self.image_mode = config.image_mode
         self.parent_style = DEFAULT_STYLE
+        self.syntax_highlighters = config.syntax_highlighters
 
 
 def _free_dom(dom) -> None:

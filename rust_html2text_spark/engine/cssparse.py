@@ -27,6 +27,7 @@ from .styles import (
     S_COLOUR,
     S_CONTENT,
     S_DISPLAY,
+    S_SYNTAX,
     S_WHITE_SPACE,
     Selector,
     SelectorComponent,
@@ -369,7 +370,7 @@ def _parse_declaration(text: str, pos: int):
     return (prop, tokens, important), pos
 
 
-def _styles_from_declaration(prop, tokens, important, state):
+def _styles_from_declaration(prop, tokens, important, state, allow_extensions=False):
     """css.rs:363-481 property recognition; returns list[StyleDecl]."""
     out = []
     if prop == "color":
@@ -424,6 +425,10 @@ def _styles_from_declaration(prop, tokens, important, state):
                 ws = {"normal": WS_NORMAL, "pre": WS_PRE, "pre-wrap": WS_PRE_WRAP}[value]
                 break
         out.append(StyleDecl(S_WHITE_SPACE, ws, important))
+    elif prop == "x-syntax":
+        # css_ext extension (parser.rs:788-793); agent/user CSS only
+        if allow_extensions and tokens and tokens[0][0] == T_IDENT:
+            out.append(StyleDecl(S_SYNTAX, tokens[0][1], important))
     elif prop == "content":
         parts = []
         ok = True
@@ -438,7 +443,7 @@ def _styles_from_declaration(prop, tokens, important, state):
     return out
 
 
-def _parse_rules(text: str, pos: int):
+def _parse_rules(text: str, pos: int, allow_extensions=False):
     """Declarations separated by ';' (parser.rs:824-828) →
     (styles, new_pos)."""
     styles: list[StyleDecl] = []
@@ -458,7 +463,9 @@ def _parse_rules(text: str, pos: int):
         if decl is None:
             break
         (prop, tokens, important), pos = decl
-        styles.extend(_styles_from_declaration(prop, tokens, important, state))
+        styles.extend(
+            _styles_from_declaration(prop, tokens, important, state, allow_extensions)
+        )
     if state["height_zero"] and state["overflow_hidden"]:
         styles.append(StyleDecl(S_DISPLAY, DISPLAY_NONE, False))
     return styles, pos
@@ -626,7 +633,7 @@ def _parse_ruleset(text: str, pos: int):
     if pos >= len(text) or text[pos] != "{":
         return None
     pos = _skip_ws(text, pos + 1)
-    styles, pos = _parse_rules(text, pos)
+    styles, pos = _parse_rules(text, pos, allow_extensions=_ALLOW_EXT[0])
     pos = _skip_ws(text, pos)
     if pos < len(text) and text[pos] == ";":
         pos = _skip_ws(text, pos + 1)
@@ -668,8 +675,12 @@ def _skip_to_end_of_statement(text: str, pos: int):
         pos = npos
 
 
-def parse_stylesheet(text: str):
+_ALLOW_EXT = [False]  # threaded into _parse_ruleset without changing call shape
+
+
+def parse_stylesheet(text: str, allow_extensions: bool = False):
     """parser.rs:1143-1150; returns list of (selectors, styles)."""
+    _ALLOW_EXT[0] = allow_extensions
     pos = 0
     out = []
     while True:
@@ -693,7 +704,7 @@ def parse_stylesheet(text: str):
 
 def add_css(rules: list[Ruleset], css: str, allow_extensions: bool = True) -> None:
     """css.rs:485-505 (do_add_css)."""
-    parsed, _pos = parse_stylesheet(css)
+    parsed, _pos = parse_stylesheet(css, allow_extensions)
     for selectors, styles in parsed:
         if styles:
             for selector in selectors:

@@ -21,7 +21,7 @@ from html.parser import HTMLParser
 
 
 class DomNode:
-    __slots__ = ("kind", "name", "attrs", "children", "parent", "text")
+    __slots__ = ("kind", "name", "attrs", "children", "parent", "text", "extra_styles")
 
     def __init__(self, kind, name=None, attrs=None, text=None):
         self.kind = kind  # document | element | text | comment
@@ -30,6 +30,7 @@ class DomNode:
         self.children: list[DomNode] = []
         self.parent: DomNode | None = None
         self.text = text
+        self.extra_styles = None  # css_ext syntax-highlight overlays
 
     def append(self, child: "DomNode") -> None:
         child.parent = self

@@ -101,6 +101,57 @@ _STRIKE_TAGS = frozenset(("s", "del"))
 _HEADERS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 
 
+def _extract_raw_text(node) -> str:
+    """Concatenated text of a subtree in document order (lib.rs:1602-1646)."""
+    out = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.kind == "text":
+            out.append(n.text)
+        else:
+            stack.extend(reversed(n.children))
+    return "".join(out)
+
+
+def _subtree_text_len(node) -> int:
+    total = 0
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.kind == "text":
+            total += len(n.text)
+        else:
+            stack.extend(n.children)
+    return total
+
+
+def _distribute_extra_styles(node) -> None:
+    """Split a node's syntax-highlight overlays among its children by
+    cumulative text offset (RenderInput::children, lib.rs:1552-1600)."""
+    extra = node.extra_styles
+    offset = 0
+    start_idx = 0
+    for child in node.children:
+        end_offset = offset + (
+            len(child.text) if child.kind == "text" else _subtree_text_len(child)
+        )
+        child_styles = []
+        for es_idx in range(start_idx, len(extra)):
+            (s, e), style = extra[es_idx]
+            if s >= end_offset:
+                break
+            if e <= offset:
+                start_idx = es_idx
+            else:
+                child_styles.append(
+                    ((max(s, offset) - offset, min(e, end_offset) - offset), style)
+                )
+        if child_styles:
+            child.extra_styles = child_styles
+        offset = end_offset
+
+
 def process_dom_node(context, node):
     """lib.rs:1823-2296."""
     kind = node.kind
@@ -109,9 +160,45 @@ def process_dom_node(context, node):
     if kind == "comment":
         return None
     if kind == "text":
+        if node.extra_styles:
+            # styled sub-spans from syntax highlighting
+            tstr = node.text
+            nodes = []
+            offset = 0
+            parent_syntax = context.parent_style.syntax
+            for (start, end), style in node.extra_styles:
+                if start > offset:
+                    nodes.append(RenderNode(N.TEXT, text=tstr[offset:start]))
+                cstyle = context.parent_style.inherit()
+                fg, bg = style
+                cstyle.colour.maybe_update(
+                    parent_syntax.important,
+                    parent_syntax.origin,
+                    parent_syntax.specificity,
+                    fg,
+                )
+                if bg is not None:
+                    cstyle.bg_colour.maybe_update(
+                        parent_syntax.important,
+                        parent_syntax.origin,
+                        parent_syntax.specificity,
+                        bg,
+                    )
+                nodes.append(
+                    RenderNode(N.TEXT, text=tstr[start:end], style=cstyle)
+                )
+                offset = end
+            if offset < len(tstr):
+                nodes.append(RenderNode(N.TEXT, text=tstr[offset:]))
+            if len(nodes) == 1:
+                return Finished(nodes[0])
+            return Finished(RenderNode(N.CONTAINER, nodes))
         return Finished(RenderNode(N.TEXT, text=node.text))
     if kind != "element":
         return None
+
+    if node.extra_styles:
+        _distribute_extra_styles(node)
 
     name = node.name
     use_doc_css = context.use_doc_css
@@ -120,6 +207,20 @@ def process_dom_node(context, node):
     )
     if computed.display.val == DISPLAY_NONE:
         return None
+
+    # css_ext: syntax highlighting (lib.rs:1917-1926)
+    syntax_lang = computed.syntax.val
+    if syntax_lang is not None and node.extra_styles is None:
+        highlighter = context.syntax_highlighters.get(syntax_lang)
+        if highlighter is not None:
+            raw_text = _extract_raw_text(node)
+            spans = []
+            for start, end, fg, bg in highlighter(raw_text):
+                spans.append(((start, end), (fg, bg)))
+            spans.sort(key=lambda r: (r[0][0], r[0][1]))
+            if spans:
+                node.extra_styles = spans
+                _distribute_extra_styles(node)
 
     computed_before = computed.content_before
     computed_after = computed.content_after

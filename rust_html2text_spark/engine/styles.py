@@ -92,6 +92,7 @@ class ComputedStyle:
         "display",
         "white_space",
         "content",
+        "syntax",
         "content_before",
         "content_after",
         "internal_pre",
@@ -103,6 +104,7 @@ class ComputedStyle:
         self.display = WithSpec()
         self.white_space = WithSpec()
         self.content = WithSpec()
+        self.syntax = WithSpec()
         self.content_before: ComputedStyle | None = None
         self.content_after: ComputedStyle | None = None
         self.internal_pre = False
@@ -114,6 +116,7 @@ class ComputedStyle:
         out.display = self.display.clone()
         out.white_space = self.white_space.clone()
         out.content = self.content.clone()
+        out.syntax = self.syntax.clone()
         out.content_before = self.content_before
         out.content_after = self.content_after
         out.internal_pre = self.internal_pre
@@ -253,6 +256,7 @@ S_BG_COLOUR = 1
 S_DISPLAY = 2
 S_WHITE_SPACE = 3
 S_CONTENT = 4
+S_SYNTAX = 5
 
 
 class StyleDecl:
@@ -408,6 +412,8 @@ def _merge_computed_style(result, important, origin, specificity, pseudo, style:
         target.white_space.maybe_update(important, origin, specificity, style.value)
     elif k == S_CONTENT:
         target.content.maybe_update(important, origin, specificity, style.value)
+    elif k == S_SYNTAX:
+        target.syntax.maybe_update(important, origin, specificity, style.value)
 
 
 def make_surround_rule(element: str, after: bool, content: str) -> Ruleset:
