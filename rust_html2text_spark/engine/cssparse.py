@@ -22,6 +22,7 @@ from .styles import (
     C_NTH_CHILD,
     C_STAR,
     DISPLAY_NONE,
+    DISPLAY_RAW_DOM,
     Ruleset,
     S_BG_COLOUR,
     S_COLOUR,
@@ -417,6 +418,9 @@ def _styles_from_declaration(prop, tokens, important, state, allow_extensions=Fa
         for kind, value in tokens:
             if kind == T_IDENT and value == "none":
                 out.append(StyleDecl(S_DISPLAY, DISPLAY_NONE, important))
+                break
+            if kind == T_IDENT and value == "x-raw-dom" and allow_extensions:
+                out.append(StyleDecl(S_DISPLAY, DISPLAY_RAW_DOM, important))
                 break
     elif prop == "white-space":
         ws = WS_NORMAL

@@ -589,6 +589,62 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
         i = k
 
 
+_RAWTEXT_SERIALIZE = frozenset(
+    "style script xmp iframe noembed noframes plaintext".split()
+)
+
+
+def _esc_text(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("\xa0", "&nbsp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _esc_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace("\xa0", "&nbsp;").replace('"', "&quot;")
+
+
+def serialize_html(node: DomNode) -> str:
+    """Serialize a DOM subtree back to HTML, matching html5ever's
+    serializer rules (attr/text escaping incl. &nbsp;, void elements,
+    raw-text elements).  Used by `display: x-raw-dom` (lib.rs:1860-1914)."""
+    out = []
+    raw_depth = 0
+
+    def walk(n: DomNode) -> None:
+        nonlocal raw_depth
+        if n.kind == "text":
+            out.append(n.text if raw_depth else _esc_text(n.text))
+            return
+        if n.kind == "comment":
+            out.append(f"<!--{n.text}-->")
+            return
+        if n.kind == "document":
+            for c in n.children:
+                walk(c)
+            return
+        out.append("<" + n.name)
+        for k, v in n.attrs.items():
+            out.append(f' {k}="{_esc_attr(v)}"')
+        out.append(">")
+        if n.name in VOID_ELEMENTS:
+            return
+        is_raw = n.name in _RAWTEXT_SERIALIZE
+        if is_raw:
+            raw_depth += 1
+        for c in n.children:
+            walk(c)
+        if is_raw:
+            raw_depth -= 1
+        out.append(f"</{n.name}>")
+
+    walk(node)
+    return "".join(out)
+
+
 def parse_html(data: bytes | str, xml_mode: bool | None = None, fast: bool = True) -> DomNode:
     """Parse HTML bytes/str into a DOM Document node.
 

@@ -12,7 +12,14 @@ from __future__ import annotations
 from . import nodes as N
 from .fold import Finished, NOTHING_SENTINEL, Pending, tree_map_reduce
 from .nodes import RenderNode, RenderTableCell, RenderTableRow, RenderTable
-from .styles import DISPLAY_NONE, ORIGIN_AGENT, SPEC_DEFAULT, ComputedStyle
+from .styles import (
+    DISPLAY_NONE,
+    DISPLAY_RAW_DOM,
+    ORIGIN_AGENT,
+    SPEC_DEFAULT,
+    ComputedStyle,
+    WithSpec,
+)
 from .wrapped import WS_PRE
 
 
@@ -207,6 +214,21 @@ def process_dom_node(context, node):
     )
     if computed.display.val == DISPLAY_NONE:
         return None
+    if computed.display.val == DISPLAY_RAW_DOM:
+        # css_ext: serialize the subtree as HTML inside a pre container
+        # (lib.rs:1860-1914)
+        from .htmlparse import DomNode, serialize_html
+
+        html_string = serialize_html(node)
+        pre_style = computed.inherit()
+        pre_style.display = WithSpec()
+        pre_style.white_space.maybe_update(False, ORIGIN_AGENT, SPEC_DEFAULT, WS_PRE)
+        pre_style.internal_pre = True
+        text_node = DomNode("text", text=html_string)
+        return Pending(
+            [text_node],
+            lambda _, cs: RenderNode(N.CONTAINER, cs, style=pre_style),
+        )
 
     # css_ext: syntax highlighting (lib.rs:1917-1926)
     syntax_lang = computed.syntax.val

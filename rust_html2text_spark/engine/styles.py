@@ -18,6 +18,7 @@ ORIGIN_AUTHOR = 3
 
 # display values
 DISPLAY_NONE = 1
+DISPLAY_RAW_DOM = 2
 
 
 class Specificity:

@@ -90,3 +90,26 @@ def test_syntax_not_from_doc_css():
         ),
     )
     assert out == "Hi\n"
+
+
+def test_x_raw_dom():
+    """display: x-raw-dom serializes the subtree as HTML in a pre block
+    (lib.rs:1860-1914); extensions honoured from user CSS only."""
+    from rust_html2text_spark.engine.api import html_to_text
+
+    config = Config(add_css=["div.raw { display: x-raw-dom; }"])
+    out = html_to_text(
+        b'<p>before</p><div class="raw"><b title="x&y">hi</b> &amp; bye</div>',
+        80,
+        config,
+    )
+    assert out == 'before\n\n<div class="raw"><b title="x&amp;y">hi</b> &amp; bye</div>\n'
+
+    # from document CSS it is ignored (author CSS parses without extensions)
+    config2 = Config(use_doc_css=True)
+    out2 = html_to_text(
+        b'<style>div { display: x-raw-dom; }</style><div><b>hi</b></div>',
+        80,
+        config2,
+    )
+    assert out2 == "**hi**\n" or out2 == "hi\n"
