@@ -587,6 +587,12 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
                 seg = _unescape(seg)
             handle_data(seg)
         i = k
+    if i < n and cdata_elem is None:
+        # trailing data after a bare '<' at EOF (goahead end-of-input emit)
+        seg = rawdata[i:n]
+        if "&" in seg:
+            seg = _unescape(seg)
+        handle_data(seg)
 
 
 _RAWTEXT_SERIALIZE = frozenset(

@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis): wrap fast-path equivalence and parser
+robustness over adversarial inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st
+
+from rust_html2text_spark.engine.api import html_to_text
+from rust_html2text_spark.engine.errors import RenderError
+from rust_html2text_spark.engine.htmlparse import parse_html
+from rust_html2text_spark.engine.wrapped import WS_NORMAL
+
+from tests.test_wrap_differential import reference_add_text_normal, render_with
+
+# text including tricky chars: NBSP, ZWSP, wide CJK, combining, controls
+_tricky = st.text(
+    alphabet=st.sampled_from(
+        list("abc XY.,!-") + ["\xa0", "\u200b", "好", "é", "̶", "\t", "\n", "—"]
+    ),
+    max_size=40,
+)
+
+
+@settings(max_examples=250, deadline=None)
+@given(st.lists(st.tuples(_tricky, st.sampled_from(["t", "u"])), max_size=6),
+       st.integers(min_value=2, max_value=30))
+def test_wrap_fast_path_equivalence(pieces, width):
+    fast = render_with(
+        lambda b, t, tg: b.add_text(t, WS_NORMAL, tg, tg), pieces, width
+    )
+    slow = render_with(reference_add_text_normal, pieces, width)
+    assert fast == slow
+
+
+_soup = st.lists(
+    st.sampled_from(
+        list("<>/=\"' abcdefp!&;#-") + ["table", "tr", "td", "li", "ul", "pre",
+                                        "&amp;", "<!--", "-->", "<![CDATA[", "]]>"]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_soup, st.integers(min_value=1, max_value=40))
+def test_render_never_crashes(soup, width):
+    try:
+        out = html_to_text(soup.encode("utf-8"), width)
+        assert isinstance(out, str)
+    except RenderError:
+        pass
+
+
+@settings(max_examples=250, deadline=None)
+@given(_soup)
+def test_fast_tokenizer_matches_stdlib(soup):
+    def dump(node):
+        if node.kind in ("text", "comment"):
+            return (node.kind, node.text)
+        return (
+            node.kind,
+            node.name,
+            tuple(sorted(node.attrs.items())),
+            tuple(dump(c) for c in node.children),
+        )
+
+    assert dump(parse_html(soup, fast=True)) == dump(parse_html(soup, fast=False))
