@@ -32,7 +32,9 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--master", default=None)
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
-    ap.add_argument("--show-render", metavar="URL", help="print one rendered doc")
+    ap.add_argument("--show-text", metavar="URL", help="print one rendered doc")
+    ap.add_argument("--show-render", metavar="URL", help="print one doc's render tree (IR dump)")
+    ap.add_argument("--show-dom", metavar="URL", help="print one doc's DOM (IR dump)")
     args = ap.parse_args()
 
     from rust_html2text_spark.operators.render import render_pages
@@ -57,14 +59,27 @@ def main() -> None:
     spark = get_spark(app_name="html2text-job", master=args.master)
     pages = spark.read.parquet(args.input)
 
-    if args.show_render:
-        row = pages.filter(pages.url == args.show_render).limit(1).collect()
+    debug_url = args.show_text or args.show_render or args.show_dom
+    if debug_url:
+        row = pages.filter(pages.url == debug_url).limit(1).collect()
         if not row:
             print("url not found", file=sys.stderr)
             sys.exit(1)
+        html = bytes(row[0]["html"])
         from rust_html2text_spark.engine.api import Config, html_to_text
 
-        print(html_to_text(bytes(row[0]["html"]), args.width, Config(**config_kwargs)))
+        config = Config(**config_kwargs)
+        if args.show_dom:
+            from rust_html2text_spark.engine.debug import dump_dom
+            from rust_html2text_spark.engine.htmlparse import parse_html
+
+            print(dump_dom(parse_html(html, xml_mode=config.xml)))
+        elif args.show_render:
+            from rust_html2text_spark.engine.debug import show_render_tree
+
+            print(show_render_tree(html, config))
+        else:
+            print(html_to_text(html, args.width, config))
         return
 
     if args.explain:

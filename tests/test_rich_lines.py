@@ -50,3 +50,23 @@ def test_rich_annotations_nested():
         ("a", (("Emphasis",),)),
         ("b", (("Emphasis",), ("Strong",))),
     ]
+
+
+def test_render_tree_dump_shape():
+    """Dump format mirrors the reference Display (css_ext_tests::render_1:
+    Container(Container(Container(Block[Text])))."""
+    from rust_html2text_spark.engine.debug import show_render_tree
+    from rust_html2text_spark.engine.api import Config
+
+    dump = show_render_tree(
+        b'<p style="color: red">Hi</p>', Config(decorator="rich", use_doc_css=True)
+    )
+    assert dump == (
+        "Render tree:\n"
+        " Container:\n"
+        "  Container:\n"
+        "   Container:\n"
+        "    [Style: colour=(255, 0, 0)\n"
+        "    Block:\n"
+        '     "Hi"\n'
+    )
