@@ -211,3 +211,49 @@ def test_streaming_windowed_metrics(spark, tmp_path):
         "text_bytes",
         "errors",
     }
+
+
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: duplicates arriving in a
+    LATER micro-batch are suppressed by the cross-batch state."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.streaming.pipeline import stream_pages
+    from rust_html2text_spark.streaming.stateful import first_seen_documents
+
+    pages = load_pages(spark, SF_DIR).limit(30).select("url", "html").cache()
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # batch 1: originals
+    pages.coalesce(1).write.parquet(str(inp / "b1"))
+
+    stream = (
+        spark.readStream.schema(pages.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(inp / "b*"))
+    )
+    q = (
+        first_seen_documents(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    first = {r.content_hash for r in spark.sql("select * from first_seen").collect()}
+    assert len(first) == 30
+
+    # batch 2: the same docs under new urls — must NOT be re-emitted
+    pages.withColumn("url", F.concat("url", F.lit("#dup"))).coalesce(1).write.parquet(
+        str(inp / "b2")
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select content_hash, count(*) c from first_seen group by 1 having count(*) > 1"
+    ).collect()
+    assert rows == []
+    total = spark.sql("select count(distinct content_hash) c from first_seen").collect()
+    assert total[0]["c"] == 30
