@@ -30,6 +30,8 @@ import re as _re
 _NORMAL_RUNS = _re.compile(
     r"([!-~]+)([ \t\n\r\x0b\x0c]+)?|([ \t\n\r\x0b\x0c]+)|(.)", _re.S
 )
+# pre mode: printable run | space run | other (incl \n, \t, unicode)
+_PRE_RUNS = _re.compile(r"([!-~]+)|( +)|(.)", _re.S)
 
 
 def preserve_whitespace(ws_mode: int) -> bool:
@@ -195,6 +197,12 @@ class WrappedBlock:
             # identical to the per-char loop below.
             self._add_text_normal(text, tag)
             return
+        if ws_mode == WS_PRE and main_tag == wrap_tag:
+            # Fast path: when the wrap-continuation tag equals the main tag
+            # (plain/trivial decorators), the mid-word tag switch is
+            # invisible and ASCII runs can be appended in bulk.
+            self._add_text_pre_sametag(text, main_tag)
+            return
         for c in text:
             if is_wordbreak_point(c) and self.wordlen > 0 and ws_mode != WS_PRE:
                 self.flush_word()
@@ -333,6 +341,74 @@ class WrappedBlock:
                 cwidth = char_width(c)
                 if cwidth >= 0:
                     self.wordlen += cwidth
+                    self.word.push_char(c, wtag)
+
+    def _add_text_pre_sametag(self, text: str, tag) -> None:
+        """Bulk variant of the WhiteSpace::Pre loop for main_tag == wrap_tag:
+        printable-ASCII runs and space runs append whole; \\n, \\t and
+        non-ASCII fall back to the exact per-char logic."""
+        wtag = (tag, WS_PRE)
+        width = self.width
+        for m in _PRE_RUNS.finditer(text):
+            g = m.group(1)
+            if g is not None:  # printable ASCII run (no whitespace)
+                wl = len(g)
+                self.wordlen += wl
+                # per-char sets pre_wrapped when the width is first
+                # exceeded; with equal tags only the final state matters
+                if self.line.len + self.wslen + self.wordlen > width:
+                    self.pre_wrapped = True
+                self.word.push_str(TaggedString(g, wtag))
+                continue
+            g = m.group(2)
+            if g is not None:  # run of plain spaces
+                if self.word.is_empty():
+                    self.wslen += len(g)
+                    self.spacetag = wtag
+                else:
+                    # in-word whitespace: no pre_wrapped width check
+                    # (only non-whitespace chars trigger it, rs:790-805)
+                    self.wordlen += len(g)
+                    self.word.push_str(TaggedString(g, wtag))
+                continue
+            c = m.group(3)
+            if c == "\n":
+                self.flush_word()
+                self.force_flush_line()
+                self.wslen = 0
+                self.spacetag = None
+                self.pre_wrapped = False
+            elif c == "\t":
+                self.flush_word()
+                pos = self.line.len + self.wordlen + self.wslen
+                at_least_one_space = False
+                while pos % 8 != 0 or not at_least_one_space:
+                    if pos >= width:
+                        self.flush_line()
+                        pos = 0
+                    else:
+                        self.line.push_char(" ", wtag)
+                        pos += 1
+                        at_least_one_space = True
+            elif c == "\u200b":
+                # ZWSP: wordbreak in pre?  is_wordbreak_point yes but the
+                # per-char loop skips flush in WS_PRE, then drops the char
+                continue
+            elif not always_takes_space(c):
+                cwidth = char_width(c)
+                if cwidth >= 0:
+                    if self.word.is_empty() and is_unicode_whitespace(c):
+                        self.wslen += cwidth
+                        self.spacetag = wtag
+                    else:
+                        self.word.push_char(c, wtag)
+                        self.wordlen += cwidth
+            else:
+                cwidth = char_width(c)
+                if cwidth >= 0:
+                    self.wordlen += cwidth
+                    if self.line.len + self.wslen + self.wordlen > width:
+                        self.pre_wrapped = True
                     self.word.push_char(c, wtag)
 
     def add_element(self, elt: FragmentStart) -> None:

@@ -103,3 +103,68 @@ def test_differential_after_pre():
         )
         slow = render_with(reference_add_text_normal, pieces, width, pre_pieces=pre)
         assert fast == slow, (width, pre_text, pieces)
+
+
+def reference_add_text_pre(block: WrappedBlock, text: str, tag) -> None:
+    """The original per-char Pre-mode algorithm with equal main/wrap tags
+    (differential oracle for _add_text_pre_sametag)."""
+    ws_mode = WS_PRE
+    for c in text:
+        if c == "\u200b":
+            continue
+        if not always_takes_space(c):
+            if c == "\n":
+                block.flush_word()
+                block.force_flush_line()
+                block.wslen = 0
+                block.spacetag = None
+                block.pre_wrapped = False
+            elif c == "\t":
+                block.flush_word()
+                pos = block.line.len + block.wordlen + block.wslen
+                at_least_one_space = False
+                while pos % 8 != 0 or not at_least_one_space:
+                    if pos >= block.width:
+                        block.flush_line()
+                        pos = 0
+                    else:
+                        block.line.push_char(" ", (tag, ws_mode))
+                        pos += 1
+                        at_least_one_space = True
+            else:
+                cwidth = char_width(c)
+                if cwidth >= 0:
+                    if block.word.is_empty() and is_unicode_whitespace(c):
+                        block.wslen += cwidth
+                        block.spacetag = (tag, ws_mode)
+                    else:
+                        block.word.push_char(c, (tag, ws_mode))
+                        block.wordlen += cwidth
+        else:
+            cwidth = char_width(c)
+            if cwidth >= 0:
+                block.wordlen += cwidth
+                if ws_mode == WS_PRE and (
+                    block.line.len + block.wslen + block.wordlen > block.width
+                ):
+                    block.pre_wrapped = True
+                block.word.push_char(c, (tag, ws_mode))
+
+
+def test_differential_pre_sametag():
+    rng = random.Random(17)
+    pre_words = WORDS + ["\t", "\n", "   ", "a\tb", "x\n y", "\xa0\xa0"]
+    for trial in range(400):
+        width = rng.choice([4, 8, 15, 40])
+        pieces = [
+            (
+                "".join(rng.choice(pre_words) for _ in range(rng.randint(1, 8))),
+                "t",
+            )
+            for _ in range(rng.randint(1, 4))
+        ]
+        fast = render_with(
+            lambda b, t, tg: b.add_text(t, WS_PRE, tg, tg), pieces, width
+        )
+        slow = render_with(reference_add_text_pre, pieces, width)
+        assert fast == slow, (width, pieces)
