@@ -612,10 +612,17 @@ class SubRenderer:
         self.ann_stack.pop()
 
 
-def _all_whitespace(text: str) -> bool:
-    from .textutil import is_unicode_whitespace
+from .textutil import is_unicode_whitespace as _is_uws
 
-    return all(is_unicode_whitespace(c) for c in text)
+import re as _re2
+
+_ASCII_WS_ONLY = _re2.compile(r"[ \t\n\r\x0b\x0c]*\Z")
+
+
+def _all_whitespace(text: str) -> bool:
+    if _ASCII_WS_ONLY.match(text):
+        return True
+    return all(_is_uws(c) for c in text)
 
 
 def _repeat(value):
