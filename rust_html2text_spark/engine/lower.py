@@ -252,7 +252,12 @@ def process_dom_node(context, node):
     def styled(kind_, children=None, **kw):
         return RenderNode(kind_, children, style=computed, **kw)
 
-    if name in ("html", "body"):
+    if name == "template":
+        # html5ever stores template contents out-of-tree (template_contents,
+        # not children), so the reference sees an empty unknown element and
+        # drops it (pending_noempty with no children).
+        result = Pending([], lambda _, cs: NOTHING_SENTINEL)
+    elif name in ("html", "body"):
         result = _pending(node, lambda _, cs: styled(N.CONTAINER, cs))
     elif name in _DROPPED:
         result = None

@@ -47,3 +47,10 @@ def test_invalid_utf8_replaced():
 def test_zero_width_errors():
     with pytest.raises(RenderError):
         html_to_text(b"<p>x</p>", 0)
+
+
+def test_template_contents_not_rendered():
+    """html5ever keeps <template> children out-of-tree; the reference
+    renders nothing for them (template_contents never traversed)."""
+    out = html_to_text(b"<p>a</p><template><p>hidden</p></template><p>b</p>", 80)
+    assert out == "a\n\nb\n"
