@@ -87,6 +87,14 @@ _P_SCOPE_BOUNDARY = frozenset(
 
 
 class TreeBuilder(HTMLParser):
+    # WHATWG raw-text + RCDATA elements: contents are text, never markup
+    # (html5ever tokenizer states; RCDATA additionally decodes charrefs,
+    # handled in handle_data below).
+    CDATA_CONTENT_ELEMENTS = (
+        "script", "style", "title", "textarea", "xmp", "iframe",
+        "noembed", "noframes",
+    )
+
     def __init__(self, xml_mode: bool = False):
         super().__init__(convert_charrefs=True)
         self.xml_mode = xml_mode
@@ -338,9 +346,21 @@ class TreeBuilder(HTMLParser):
             return
         self._pop_through(target)
 
+    _RCDATA = frozenset(("title", "textarea"))
+
     def handle_data(self, data):
         if not data:
             return
+        cur = self.stack[-1]
+        if (
+            cur.kind == "element"
+            and cur.name in self._RCDATA
+            and "&" in data
+        ):
+            # RCDATA: raw-text tokenization but charrefs still decode
+            from html import unescape
+
+            data = unescape(data)
         if not self.body_started:
             if data.strip() == "":
                 if self.head_node is not None and self.head_node in self.stack:
@@ -418,7 +438,7 @@ _commentclose = _re.compile(r"--\s*>")
 _endtagfind = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _markedclose = _re.compile(r"]\s*]\s*>")
 _msmarkedclose = _re.compile(r"]\s*>")
-_CDATA_ELEMS = ("script", "style")
+_CDATA_ELEMS = TreeBuilder.CDATA_CONTENT_ELEMENTS
 _cdata_res = {
     elem: _re.compile(r"</\s*%s\s*>" % elem, _re.I) for elem in _CDATA_ELEMS
 }

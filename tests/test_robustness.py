@@ -54,3 +54,16 @@ def test_template_contents_not_rendered():
     renders nothing for them (template_contents never traversed)."""
     out = html_to_text(b"<p>a</p><template><p>hidden</p></template><p>b</p>", 80)
     assert out == "a\n\nb\n"
+
+
+def test_rcdata_textarea():
+    """textarea is RCDATA: tags inside are text, charrefs decode
+    (html5ever tokenizer states)."""
+    out = html_to_text(b"<p><textarea>a <b>raw</b> &amp; x</textarea></p>", 80)
+    assert out == "a <b>raw</b> & x\n"
+
+
+def test_rawtext_xmp():
+    """xmp is raw text: tags AND charrefs stay literal."""
+    out = html_to_text(b"<xmp><b>raw</b> &amp; x</xmp>", 80)
+    assert out == "<b>raw</b> &amp; x\n"
