@@ -70,3 +70,32 @@ def test_render_tree_dump_shape():
         "    Block:\n"
         '     "Hi"\n'
     )
+
+
+def test_rich_lines_whole_corpus_no_crash():
+    """The annotated-lines path must handle every golden fixture: line text
+    joined must equal the plain rendering of the rich config."""
+    import json
+    from pathlib import Path
+
+    from rust_html2text_spark.engine.api import _render
+    from rust_html2text_spark.engine.errors import RenderError
+
+    fixtures = json.loads(
+        (Path(__file__).parent / "fixtures/goldens.json").read_text()
+    )["fixtures"]
+    checked = 0
+    for f in fixtures:
+        if "expected" not in f:
+            continue
+        html = f["html"].encode("utf-8")
+        try:
+            lines = html_to_lines(html, f["width"], rich_config())
+        except RenderError:
+            continue
+        # border lines squash to box-drawing strings; text joins losslessly
+        rendered = "".join(l.to_string() + "\n" for l in lines)
+        plain = _render(html, f["width"], rich_config()).into_string()
+        assert rendered == plain, f["name"]
+        checked += 1
+    assert checked > 180
