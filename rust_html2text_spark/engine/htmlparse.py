@@ -76,6 +76,14 @@ _LI_BREAKERS = frozenset(
 )
 
 TABLE_CTX = frozenset("table tbody thead tfoot tr".split())
+
+_ASCII_WS_STR = " \t\n\r\f"
+
+
+def _is_ascii_ws(data: str) -> bool:
+    """WHATWG 'ASCII whitespace' — NBSP etc. do NOT count (they foster-parent
+    out of tables and do start the body)."""
+    return not data.strip(_ASCII_WS_STR)
 TABLE_SECTIONS = frozenset("tbody thead tfoot".split())
 
 # Scope boundaries for generic end-tag matching.
@@ -362,7 +370,7 @@ class TreeBuilder(HTMLParser):
 
             data = unescape(data)
         if not self.body_started:
-            if data.strip() == "":
+            if _is_ascii_ws(data):
                 if self.head_node is not None and self.head_node in self.stack:
                     self._append_text(self.head_node, data)
                 return
@@ -373,7 +381,7 @@ class TreeBuilder(HTMLParser):
                 return
             self._ensure_body()
         if self._in_foster_context():
-            if data.strip() == "":
+            if _is_ascii_ws(data):
                 self._append_text(self.current(), data)
             else:
                 table = self._nearest_table()

@@ -67,3 +67,11 @@ def test_rawtext_xmp():
     """xmp is raw text: tags AND charrefs stay literal."""
     out = html_to_text(b"<xmp><b>raw</b> &amp; x</xmp>", 80)
     assert out == "<b>raw</b> &amp; x\n"
+
+
+def test_nbsp_foster_parented_from_table():
+    """NBSP is not WHATWG 'ASCII whitespace': text containing it inside a
+    table foster-parents out and renders before the table."""
+    out = html_to_text("<table>\xa0<tr><td>x</td></tr></table>".encode(), 80)
+    assert out.startswith("\xa0\n")
+    assert "x" in out
