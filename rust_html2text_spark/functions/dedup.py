@@ -51,11 +51,45 @@ def minhash_signatures(
     """MinHash signature per doc: for seed i, min over shingles of
     md5(shingle || '#i') (hex strings compare consistently everywhere).
 
-    Formulated as explode → codegen'd md5 → groupBy-min rather than
-    higher-order array functions: HOF lambdas are interpreted in Spark,
-    while this shape is whole-stage-codegen with map-side partial min, so
-    the shuffle carries one row per doc, not per shingle.
+    Shingles are built with posexplode + window `lead` (fully whole-stage
+    codegen; Spark higher-order-function lambdas are interpreted and ~2-3x
+    slower).  Costs one shuffle of the token stream; map-side partial min
+    keeps the aggregation shuffle at one row per doc.  Where an extra
+    full-input shuffle is unacceptable, `minhash_signatures_hof` computes
+    the same signatures shuffle-free at higher CPU cost.
     """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokdf = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", k).over(w).alias(f"l{k}") for k in range(1, shingle_size)]
+    sh = tokdf.select("doc_id", "tok", *leads)
+    last_lead = f"l{shingle_size - 1}"
+    long_sh = sh.filter(F.col(last_lead).isNotNull()).select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", *[f"l{k}" for k in range(1, shingle_size)]
+        ).alias("sh"),
+    )
+    # docs shorter than the shingle size contribute one whole-text shingle
+    # (matches word_shingles' sequence(1, greatest(n-2, 1)) formulation)
+    short_sh = docs.select(
+        "doc_id", F.array_join(toks, " ").alias("sh")
+    ).filter(F.size(toks) < shingle_size)
+    all_sh = long_sh.unionByName(short_sh)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return all_sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_hof(
+    docs: DataFrame, num_hashes: int = 8, shingle_size: int = 3
+) -> DataFrame:
+    """Shuffle-free MinHash variant (higher-order functions, interpreted):
+    same signatures as `minhash_signatures`."""
     sh = docs.select(
         "doc_id", F.explode(word_shingles(shingle_size)).alias("sh")
     )
@@ -75,21 +109,21 @@ def lsh_candidate_pairs(
     """Near-duplicate candidate pairs via LSH banding of the MinHash
     signature (band matches ⇒ candidate)."""
     sigs = minhash_signatures(docs, num_hashes, shingle_size)
-    bands = []
+    # one pass: explode all bands from a single signature computation (a
+    # union of per-band selects would re-run the shingle+md5 work per band)
+    band_structs = []
     for b in range(0, num_hashes, band_size):
         key = F.md5(
             F.concat_ws("|", *[F.col(f"mh{i}") for i in range(b, b + band_size)])
         )
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b // band_size).alias("band"),
-                key.alias("band_key"),
+        band_structs.append(
+            F.struct(
+                F.lit(b // band_size).alias("band"), key.alias("band_key")
             )
         )
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+    all_bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     pairs = (
