@@ -251,16 +251,22 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
+    # Double sums are summation-order dependent (partial aggregation order
+    # varies with parallelism); cast each addend to DECIMAL(18,6) so the sum
+    # is exact and bit-stable at any parallelism, then cast back to double
+    # for a representation-stable compare (mirrored in the DuckDB oracle).
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = "decimal(18,6)"
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -275,7 +281,9 @@ def q_top_customers(spark, sf_dir):
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spent"),
         )
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -297,18 +305,21 @@ def q_user_sessions(spark, sf_dir):
     sessions = with_gap.withColumn(
         "session_no", F.sum(new_session).over(w)
     )
+    # DECIMAL(18,6) sums are exact and associative (bit-stable at any
+    # parallelism, unlike double sums); orderBy for an order-stable result.
     return (
         sessions.groupBy("user_id", "session_no")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("session_value"),
         )
         .groupBy("user_id")
         .agg(
             F.max("session_no").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(F.max("session_value"), 4).alias("max_session_value"),
+            F.max("session_value").cast("double").alias("max_session_value"),
         )
+        .orderBy("user_id")
     )
 
 
@@ -318,7 +329,9 @@ def q_events_by_type(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -514,9 +527,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -525,7 +538,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_customers": """
             SELECT c_custkey, c_name, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_spent
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey, c_name
             ORDER BY total_spent DESC, c_custkey ASC
@@ -544,17 +557,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             ), agg AS (
                 SELECT user_id, session_no, count(*) AS n_events,
-                       round(sum(value), 4) AS session_value
+                       sum(CAST(value AS DECIMAL(18,6))) AS session_value
                 FROM s GROUP BY user_id, session_no
             )
             SELECT user_id, max(session_no) AS n_sessions,
                    sum(n_events) AS n_events,
-                   round(max(session_value), 4) AS max_session_value
+                   CAST(max(session_value) AS DOUBLE) AS max_session_value
             FROM agg GROUP BY user_id
+            ORDER BY user_id
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
-                   round(sum(value), 4) AS total_value,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events
             GROUP BY event_type
