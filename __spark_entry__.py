@@ -209,9 +209,12 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
+    # max_hamming=8 ⇒ 9 bands: banded recall is *guaranteed* (pigeonhole),
+    # so the result equals the exact all-pairs answer — which is what the
+    # DuckDB oracle computes.
     from rust_html2text_spark.functions.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=16)
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
 
 
 # --- similarity search ----------------------------------------------------------
@@ -401,6 +404,58 @@ def _stopword_hits_sql(words: list[str]) -> str:
     )
 
 
+# md5(token) first 8 bytes, big-endian — identical to Python's
+# int.from_bytes(md5(tok).digest()[:8], 'big') used by simhash_py.
+_DUCK_TOK_HASH = "CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)"
+
+
+def _simhash_sql(table: str = "documents") -> str:
+    """DuckDB replica of functions/dedup.simhash: per-token md5 bit votes,
+    majority per bit, packed into a signed 64-bit integer."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({_DUCK_TOK_HASH} >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS b{k}"
+        for k in range(64)
+    )
+    # bit 63 contributes -2^63 (two's complement); bits 0..62 contribute 2^k
+    pack_terms = [
+        f"CASE WHEN coalesce(a.b63, 0) >= 0 THEN -9223372036854775808 ELSE 0 END"
+    ] + [
+        f"CASE WHEN coalesce(a.b{k}, 0) >= 0 THEN {1 << k} ELSE 0 END"
+        for k in range(63)
+    ]
+    packed = " + ".join(pack_terms)
+    return (
+        "WITH tok AS ("
+        "  SELECT doc_id, unnest(list_filter("
+        r"    regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS tok"
+        f"  FROM {table} WHERE text IS NOT NULL"
+        f"), acc AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        f"CASE WHEN d.text IS NULL THEN NULL ELSE {packed} END AS simhash "
+        f"FROM {table} d LEFT JOIN acc a ON d.doc_id = a.doc_id"
+    )
+
+
+def _plane_dot_sql(emb: str, signs: list[float]) -> str:
+    lits = ", ".join(str(s) for s in signs)
+    return (
+        f"list_aggregate(list_transform(range(1, {len(signs)} + 1), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * ([{lits}])[i]), 'sum')"
+    )
+
+
+def _bucket_sql(emb: str, num_planes: int, dim: int, plane_offset: int = 0) -> str:
+    """DuckDB replica of functions/similarity.hyperplane_sign_bits — same
+    deterministic hyperplanes via the shared hyperplane_signs()."""
+    from rust_html2text_spark.functions.similarity import hyperplane_signs
+
+    terms = [
+        f"CASE WHEN {_plane_dot_sql(emb, signs)} >= 0 THEN {1 << p} ELSE 0 END"
+        for p, signs in enumerate(hyperplane_signs(num_planes, dim, plane_offset))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     from rust_html2text_spark.functions.textstats import (
         DE_STOPWORDS,
@@ -492,6 +547,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs p JOIN sh a ON p.doc_a = a.doc_id "
             "JOIN sh b ON p.doc_b = b.doc_id"
         ),
+        "simhash": _simhash_sql(),
+        "simhash_near_dups": (
+            # exact all-pairs — valid because max_hamming=8 with 9 bands has
+            # guaranteed recall, so the banded Spark result equals the exact
+            # answer (this oracle checks the guarantee, not just the impl)
+            f"WITH sim AS ({_simhash_sql()}) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+            "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE a.simhash IS NOT NULL AND b.simhash IS NOT NULL "
+            "AND bit_count(xor(a.simhash, b.simhash)) <= 8"
+        ),
+        "knn_lsh": f"""
+            WITH h AS (SELECT vec_id, embedding,
+                              {_bucket_sql("embedding", 6, 64)} AS bucket
+                       FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                              bucket AS q_bucket
+                       FROM h WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb,
+                              bucket AS c_bucket FROM h),
+                 scored AS (
+                     SELECT query_id, neighbor_id, {_DUCK_COSINE} AS cosine
+                     FROM c JOIN q ON c_bucket = q_bucket
+                     WHERE neighbor_id != query_id),
+                 ranked AS (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                     FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
         "knn_bruteforce": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                        FROM embeddings WHERE vec_id < 10),
@@ -507,13 +595,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
             FROM ranked WHERE rank <= 5
         """,
-        "embedding_dups": f"""
-            WITH a AS (SELECT vec_id AS vec_a, embedding AS q_emb FROM embeddings),
-                 b AS (SELECT vec_id AS vec_b, embedding AS c_emb FROM embeddings)
-            SELECT vec_a, vec_b, {_DUCK_COSINE} AS cosine
-            FROM a JOIN b ON vec_a < vec_b
-            WHERE {_DUCK_COSINE} > 0.5
-        """,
+        "embedding_dups": (
+            # mirrors the Spark multi-table LSH exactly (same deterministic
+            # hyperplanes via hyperplane_signs), so both sides see the same
+            # candidate set; the recall contract is documented on
+            # functions/similarity.embedding_cosine_dups
+            "WITH bands AS ("
+            + " UNION ALL ".join(
+                f"SELECT vec_id, {t} AS tbl, "
+                f"{_bucket_sql('embedding', 4, 64, plane_offset=t * 4)} AS bucket "
+                "FROM embeddings"
+                for t in range(12)
+            )
+            + "), cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
+            "FROM bands l JOIN bands r ON l.tbl = r.tbl AND l.bucket = r.bucket "
+            "AND l.vec_id < r.vec_id), "
+            "a AS (SELECT vec_id AS vec_a, embedding AS q_emb FROM embeddings), "
+            "b AS (SELECT vec_id AS vec_b, embedding AS c_emb FROM embeddings) "
+            f"SELECT p.vec_a, p.vec_b, {_DUCK_COSINE} AS cosine "
+            "FROM cand p JOIN a ON p.vec_a = a.vec_a JOIN b ON p.vec_b = b.vec_b "
+            f"WHERE {_DUCK_COSINE} > 0.5"
+        ),
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'

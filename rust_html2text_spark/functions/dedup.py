@@ -82,7 +82,10 @@ def minhash_signatures(
         F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{i}")))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return all_sh.groupBy("doc_id").agg(*aggs)
+    sigs = all_sh.groupBy("doc_id").agg(*aggs)
+    # posexplode drops NULL-text docs; preserve them with NULL signatures
+    # (matches a SQL oracle, which keeps the row with NULL columns)
+    return docs.select("doc_id").join(sigs, "doc_id", "left")
 
 
 def minhash_signatures_hof(
@@ -108,6 +111,11 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of the MinHash
     signature (band matches ⇒ candidate)."""
+    if num_hashes % band_size != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a multiple of band_size "
+            f"({band_size}); a partial band would reference missing columns"
+        )
     sigs = minhash_signatures(docs, num_hashes, shingle_size)
     # one pass: explode all bands from a single signature computation (a
     # union of per-band selects would re-run the shingle+md5 work per band)
@@ -121,7 +129,9 @@ def lsh_candidate_pairs(
                 F.lit(b // band_size).alias("band"), key.alias("band_key")
             )
         )
-    all_bands = sigs.select(
+    # NULL-text docs carry NULL signatures — concat_ws would fold them all
+    # into one md5('') bucket, so exclude them from banding entirely
+    all_bands = sigs.filter(F.col("mh0").isNotNull()).select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     left = all_bands.alias("l")
@@ -197,30 +207,91 @@ def simhash_py(text: str, bits: int = 64) -> int:
 
 @pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: simhash_py(t) if t is not None else None)
+    """Vectorized SimHash: one hashlib.md5 per *unique* token in the batch,
+    then the 64-bit expansion, per-row accumulation and bit packing run as
+    numpy matrix ops (same signatures as `simhash_py`, tested against it)."""
+    import numpy as np
+
+    n = len(texts)
+    vocab: dict[str, int] = {}
+    flat_idx: list[int] = []  # vocab index per token occurrence, row-major
+    row_ends = np.zeros(n, dtype=np.int64)
+    null_rows = np.zeros(n, dtype=bool)
+    count = 0
+    for rowno, t in enumerate(texts):
+        if t is None:
+            null_rows[rowno] = True
+        else:
+            for tok in t.lower().split():
+                flat_idx.append(vocab.setdefault(tok, len(vocab)))
+                count += 1
+        row_ends[rowno] = count
+
+    if vocab:
+        h = np.frombuffer(
+            b"".join(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in vocab
+            ),
+            dtype=">u8",
+        ).astype(np.uint64)
+        # (n_unique, 64) in {-1, +1}: contribution of each token to each bit
+        contrib = (
+            ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            .astype(np.int32) * 2 - 1
+        )
+    else:
+        contrib = np.zeros((0, 64), dtype=np.int32)
+
+    occ = contrib[np.asarray(flat_idx, dtype=np.int64)] if flat_idx else contrib
+    csum = np.vstack([np.zeros((1, 64), dtype=np.int64), occ.cumsum(axis=0)])
+    acc = csum[row_ends] - csum[np.concatenate(([0], row_ends[:-1]))]
+    bits = (acc >= 0).astype(np.uint64)
+    packed = np.bitwise_or.reduce(
+        bits << np.arange(64, dtype=np.uint64), axis=1
+    ).view(np.int64)
+    out = pd.Series(packed, dtype="Int64")
+    out[null_rows] = None
+    return out
 
 
 def simhash(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
+def simhash_band_widths(max_hamming: int) -> list[int]:
+    """Band widths for a guaranteed-recall SimHash banding: splitting 64
+    bits into B = max_hamming + 1 bands means any pair within hamming <=
+    max_hamming agrees exactly on at least one band (pigeonhole)."""
+    num_bands = max_hamming + 1
+    if num_bands > 64:
+        raise ValueError(f"max_hamming must be < 64, got {max_hamming}")
+    base, rem = divmod(64, num_bands)
+    return [base + 1] * rem + [base] * (num_bands - rem)
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance.  At scale this is
-    banded like MinHash (split the 64 bits into 4 x 16-bit keys: any pair
-    within hamming<=3 shares at least one exact 16-bit band)."""
-    s = simhash(docs)
+    """Near-duplicate pairs by SimHash hamming distance, with *guaranteed*
+    recall: the 64 bits split into max_hamming + 1 bands, so every pair
+    within the threshold shares at least one exact band (pigeonhole) and
+    the banded candidate set provably contains the full answer.  Tighter
+    thresholds mean fewer, wider bands — i.e. smaller buckets — so the
+    parameter that improves precision also improves scale."""
+    s = simhash(docs).filter(F.col("simhash").isNotNull())
+    widths = simhash_band_widths(max_hamming)
     bands = []
-    for b in range(4):
+    offset = 0
+    for b, w in enumerate(widths):
         bands.append(
             s.select(
                 "doc_id",
                 "simhash",
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned(F.col("simhash"), offset)
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("band_key"),
             )
         )
+        offset += w
     all_bands = bands[0]
     for other in bands[1:]:
         all_bands = all_bands.unionByName(other)

@@ -64,21 +64,44 @@ def knn_bruteforce(
     )
 
 
-def hyperplane_sign_bits(emb_col, num_planes: int = 8, dim: int = 16):
-    """Deterministic pseudo-random hyperplanes: component j of plane p is
-    ±1 by the parity of a hash of (p, j).  Sign bit = dot(emb, plane) >= 0."""
+def hyperplane_signs(num_planes: int, dim: int, plane_offset: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components (pure Python, no numpy): a
+    splitmix64-style integer mix of (plane, component) whose high bit gives
+    an unbiased sign.  Shared by the Spark expressions below AND the DuckDB
+    oracle-SQL generator in __spark_entry__, so both engines hash with
+    byte-identical hyperplanes."""
+    mask = (1 << 64) - 1
+    out = []
+    for p in range(plane_offset, plane_offset + num_planes):
+        row = []
+        for j in range(dim):
+            x = (p * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & mask
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+            row.append(1.0 if (x >> 63) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def _plane_dot(emb_col, signs: list[float]):
+    """In-order left fold of emb·signs — the evaluation order is fixed, so
+    the double result is bit-identical run-to-run and matches a sequential
+    SQL sum over the same products."""
+    signs_arr = F.array(*[F.lit(s) for s in signs])
+    return F.aggregate(
+        F.zip_with(emb_col, signs_arr, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hyperplane_sign_bits(
+    emb_col, num_planes: int = 8, dim: int = 64, plane_offset: int = 0
+):
+    """Random-hyperplane LSH bucket id: bit p = (dot(emb, plane_p) >= 0)."""
     bits = []
-    for p in range(num_planes):
-        signs = [
-            1.0 if (p * 1315423911 + j * 2654435761) % 7 < 4 else -1.0
-            for j in range(dim)
-        ]
-        signs_arr = F.array(*[F.lit(s) for s in signs])
-        dot = F.aggregate(
-            F.zip_with(emb_col, signs_arr, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    for p, signs in enumerate(hyperplane_signs(num_planes, dim, plane_offset)):
+        dot = _plane_dot(emb_col, signs)
         bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (1 << p))
     bucket = bits[0]
     for b in bits[1:]:
@@ -91,7 +114,7 @@ def knn_lsh(
     k: int = 5,
     num_queries: int = 10,
     num_planes: int = 6,
-    dim: int = 16,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket."""
     from pyspark.sql.window import Window
@@ -128,9 +151,55 @@ def knn_lsh(
     )
 
 
-def embedding_cosine_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold (exact,
-    pairwise within LSH buckets at scale; exact here)."""
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_tables: int = 12,
+    bits_per_table: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold, candidates
+    restricted to LSH buckets (never an all-pairs join).
+
+    L = num_tables independent hyperplane tables of b = bits_per_table sign
+    bits each; a pair is a candidate iff it shares a bucket in ANY table,
+    then the exact cosine filter runs only on candidates.  Recall for a
+    pair at angle θ is 1 - (1 - (1 - θ/π)^b)^L — with the defaults, ≥0.93
+    at cosine 0.5 and ≥0.9999 at cosine 0.9; raise bits_per_table (and
+    num_tables) at scale to shrink buckets for tighter thresholds.
+    Per-table bucket population is n/2^b in expectation; AQE skew-join
+    splits hot buckets.
+    """
+    bands = []
+    for t in range(num_tables):
+        bands.append(
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_sign_bits(
+                    F.col("embedding"),
+                    bits_per_table,
+                    dim,
+                    plane_offset=t * bits_per_table,
+                ).alias("bucket"),
+            )
+        )
+    hashed = embeddings.select(
+        "vec_id", F.explode(F.array(*bands)).alias("b")
+    ).select("vec_id", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+    l = hashed.alias("l")
+    r = hashed.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
     a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
@@ -138,7 +207,8 @@ def embedding_cosine_dups(embeddings: DataFrame, threshold: float = 0.95) -> Dat
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
     )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select(
             "vec_a",
             "vec_b",

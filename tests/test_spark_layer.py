@@ -136,6 +136,82 @@ def test_simhash_udf_matches_reference(spark):
         assert rows[r.doc_id] == simhash_py(r.text)
 
 
+def test_simhash_near_dups_guaranteed_recall(spark):
+    """With B = max_hamming + 1 bands, the banded candidate set provably
+    contains every pair within the threshold (pigeonhole) — so the banded
+    result must EQUAL the exact all-pairs answer."""
+    from rust_html2text_spark.functions.dedup import simhash, simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for max_h in (3, 8):
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_dups(docs, max_hamming=max_h).collect()
+        }
+        sims = [
+            (r.doc_id, r.simhash)
+            for r in simhash(docs).collect()
+            if r.simhash is not None
+        ]
+        exact = set()
+        for i in range(len(sims)):
+            for j in range(i + 1, len(sims)):
+                (ida, ha), (idb, hb) = sims[i], sims[j]
+                if ida > idb:
+                    ida, idb, ha, hb = idb, ida, hb, ha
+                d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+                if d <= max_h:
+                    exact.add((ida, idb, d))
+        assert banded == exact, f"max_hamming={max_h}"
+
+
+def test_minhash_preserves_null_text_docs(spark):
+    from rust_html2text_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "a b c d e"), (4, None)],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.mh0 for r in minhash_signatures(docs, num_hashes=4).collect()}
+    assert set(sigs) == {1, 2, 3, 4}
+    assert sigs[2] is None and sigs[4] is None
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs, 4, 2).collect()}
+    assert pairs == {(1, 3)}  # NULL-sig docs never pair (not even together)
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(docs, num_hashes=4, band_size=3)
+
+
+def test_embedding_dups_candidates_are_exact_subset(spark):
+    """Bucketed near-dup pairs carry the exact cosine and are a subset of
+    the exact all-pairs answer; at this sf the target pair is recalled."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.similarity import (
+        _cosine,
+        embedding_cosine_dups,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = embedding_cosine_dups(emb, threshold=0.3).collect()
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cosine")
+        )
+        .filter(F.col("cosine") > 0.3)
+        .collect()
+    }
+    assert got, "bucketed search found nothing"
+    for r in got:
+        assert exact[(r.vec_a, r.vec_b)] == r.cosine
+
+
 def test_knn_lsh_recall_sane(spark):
     """LSH kNN returns a subset of brute-force candidates per query."""
     from rust_html2text_spark.functions.similarity import knn_bruteforce, knn_lsh
