@@ -456,6 +456,22 @@ def _bucket_sql(emb: str, num_planes: int, dim: int, plane_offset: int = 0) -> s
     return "(" + " + ".join(terms) + ")"
 
 
+# Expected render output, precomputed OUTSIDE Spark by
+# scripts/build_render_goldens.py (pure-Python corpus synthesis + direct
+# engine calls, single process).  The oracle joins on a key recomputable
+# from the registered `documents` view, so it adapts to whichever sf dir
+# the driver runs (every built sf is in the parquet).
+_GOLDENS = "read_parquet('/root/repo/goldens/render_goldens.parquet')"
+_DOC_KEY = (
+    "md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source || '|' || d.lang"
+    " || '|' || d.text)"
+)
+_RENDERED = (
+    "SELECT g.url, g.text, g.error, g.text_bytes, g.n_lines, g.n_link_spans "
+    f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from rust_html2text_spark.functions.textstats import (
         DE_STOPWORDS,
@@ -487,6 +503,40 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
+        "render_dedup": f"SELECT url, text, error FROM ({_RENDERED})",
+        "render_rich_spans": (
+            f"SELECT url, n_lines, n_link_spans FROM ({_RENDERED})"
+        ),
+        "render_error_counts": f"""
+            SELECT count(*) AS n_docs,
+                   sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS n_errors,
+                   sum(text_bytes) AS total_text_bytes
+            FROM ({_RENDERED})
+        """,
+        "training_pipeline": f"""
+            WITH r AS (SELECT url, text FROM ({_RENDERED}) WHERE error IS NULL),
+                 scored AS (
+                     SELECT url, text,
+                            len({_DUCK_TOKENS}) AS n_tokens,
+                            round((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)) * 0.5
+                                + ({en} * 1.0 / len({_DUCK_TOKENS})) * 0.5, 6) AS quality,
+                            CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
+                                 WHEN {de} >= {fr} THEN 'de'
+                                 ELSE 'fr' END AS pred_lang
+                     FROM r),
+                 kept AS (
+                     SELECT url, text, n_tokens, quality,
+                            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+                     FROM scored
+                     WHERE quality >= 0.2 AND pred_lang = 'en'),
+                 ranked AS (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY fingerprint ORDER BY url) AS rn
+                     FROM kept)
+            SELECT url, text, n_tokens, quality, fingerprint
+            FROM ranked WHERE rn = 1
+        """,
         "token_count": f"""
             SELECT doc_id,
                    len({_DUCK_TOKENS}) AS n_tokens,

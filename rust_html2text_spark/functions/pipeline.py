@@ -23,10 +23,14 @@ def training_pipeline(
     min_quality: float = 0.2,
     langs: tuple[str, ...] = ("en",),
 ) -> DataFrame:
-    """pages(url, html, ...) → deduped, quality-filtered corpus rows."""
+    """pages(url, html, ...) → deduped, quality- and language-filtered
+    corpus rows.  `langs` keeps documents whose *extracted-text* language
+    prediction (stopword vote, same rule as textstats.lang_id) is in the
+    tuple; pass None to skip language filtering."""
     from rust_html2text_spark.functions.textstats import (
         EN_STOPWORDS,
         _stopword_hits,
+        pred_lang_col,
         tokens_col,
     )
 
@@ -36,7 +40,7 @@ def training_pipeline(
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
-    sw = _stopword_hits(toks, EN_STOPWORDS)
+    sw = _stopword_hits(EN_STOPWORDS)
     quality = (n_alpha / n_chars) * 0.5 + (sw / n_tokens) * 0.5
 
     scored = rendered.select(
@@ -45,7 +49,11 @@ def training_pipeline(
         "text_bytes",
         n_tokens.alias("n_tokens"),
         F.round(quality, 6).alias("quality"),
+        pred_lang_col("text").alias("pred_lang"),
     ).filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        scored = scored.filter(F.col("pred_lang").isin(list(langs)))
+    scored = scored.drop("pred_lang")
 
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     fingerprinted = scored.withColumn("fingerprint", F.md5(normalized))

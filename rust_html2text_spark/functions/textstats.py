@@ -30,7 +30,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def _stopword_hits(tokens, words: list[str]):
+def _stopword_hits(words: list[str], text_col: str = "text"):
     """Count tokens equal (case-insensitively) to any stopword.
 
     Implemented as a codegen'd regex count over the raw text rather than a
@@ -41,7 +41,19 @@ def _stopword_hits(tokens, words: list[str]):
     """
     alts = "|".join(words)
     pattern = rf"(?:(?<=\s)|^)(?:{alts})(?:(?=\s)|$)"
-    return F.regexp_count(F.lower(F.trim(F.col("text"))), F.lit(pattern))
+    return F.regexp_count(F.lower(F.trim(F.col(text_col))), F.lit(pattern))
+
+
+def pred_lang_col(text_col: str = "text"):
+    """Stopword-vote language prediction expression (en/de/fr)."""
+    en = _stopword_hits(EN_STOPWORDS, text_col)
+    de = _stopword_hits(DE_STOPWORDS, text_col)
+    fr = _stopword_hits(FR_STOPWORDS, text_col)
+    return (
+        F.when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -51,7 +63,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     n_alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    sw = _stopword_hits(toks, EN_STOPWORDS)
+    sw = _stopword_hits(EN_STOPWORDS)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -69,9 +81,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-vote language ID (en/de/fr heuristic)."""
     toks = tokens_col()
-    en = _stopword_hits(toks, EN_STOPWORDS)
-    de = _stopword_hits(toks, DE_STOPWORDS)
-    fr = _stopword_hits(toks, FR_STOPWORDS)
+    en = _stopword_hits(EN_STOPWORDS)
+    de = _stopword_hits(DE_STOPWORDS)
+    fr = _stopword_hits(FR_STOPWORDS)
     pred = (
         F.when((en >= de) & (en >= fr), F.lit("en"))
         .when(de >= fr, F.lit("de"))

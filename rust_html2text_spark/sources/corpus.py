@@ -130,3 +130,42 @@ def load_pages(
     return pages_from_documents(
         load_documents(spark, sf_dir), skew_fraction, oversize_every
     )
+
+
+def synthesize_page_py(doc_id: int, text: str, source: str) -> tuple[str, bytes]:
+    """Single-process replica of `pages_from_documents` (no skew/oversize):
+    returns (url, html_bytes) byte-identical to the Spark expressions above.
+    Used by scripts/build_render_goldens.py to precompute expected render
+    output *outside* Spark, and pinned equal to the Spark path by
+    tests/test_spark_layer.py::test_python_page_synthesis_matches_spark.
+    """
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    words = esc.split(" ")
+    n = len(words)
+
+    chunk = " ".join(words[0:8])
+    chunk2 = " ".join(words[8 : 8 + max(n - 8, 1)])
+
+    arche = doc_id % 4
+    if arche == 0:
+        body = f"<p>{esc}</p>"
+    elif arche == 1:
+        body = f"<h2>Contents</h2><ul><li>{chunk}</li><li>{chunk2}</li></ul>"
+    elif arche == 2:
+        c00 = " ".join(words[0:4])
+        c01 = " ".join(words[4:8])
+        c10 = " ".join(words[8:12])
+        c11 = " ".join(words[12:16])
+        body = (
+            f"<h1>Data</h1><table><tr><td>{c00}</td><td>{c01}</td></tr>"
+            f"<tr><td>{c10}</td><td>{c11}</td></tr></table><p>{esc}</p>"
+        )
+    else:
+        body = (
+            f"<h1>Report</h1><blockquote>{chunk}</blockquote>"
+            f'<p>See <a href="https://example.com/{doc_id}">the source</a>'
+            f" for details.</p><pre>{chunk2}</pre><p>{esc}</p>"
+        )
+    url = f"https://www.{source}.example.com/doc/{doc_id}"
+    html = f"<html><body>{body}</body></html>".encode("utf-8")
+    return url, html

@@ -1,0 +1,122 @@
+"""Precompute expected render output for the driver's DuckDB correctness
+oracle — single-process, NO Spark, so it is an independent check of the
+whole Spark render path (corpus synthesis, partitioning, mapInPandas
+batching, error plumbing).
+
+For each testdata scale factor, synthesize every page with the pure-Python
+corpus replica (`sources.corpus.synthesize_page_py`), render it directly
+with the engine (`engine.api.html_to_text` / `html_to_lines`, the same
+entry points the Spark operator calls per row), and record:
+
+  doc_key        md5(doc_id|source|lang|text) over the *source document* —
+                 recomputable in SQL from the registered `documents` view,
+                 so an oracle works at any sf dir that has been built here
+  url, text, error, text_bytes          (render_pages expectations)
+  n_lines, n_link_spans                 (rich/annotated path expectations)
+
+Output: /root/repo/goldens/render_goldens.parquet (committed).
+
+Usage: python scripts/build_render_goldens.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT_SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+OUT = "/root/repo/goldens/render_goldens.parquet"
+WIDTH = 80
+
+
+def build_rows(sf_dir: str) -> list[dict]:
+    import pyarrow.parquet as pq
+
+    from rust_html2text_spark.engine.api import html_to_lines, html_to_text
+    from rust_html2text_spark.engine.errors import RenderError
+    from rust_html2text_spark.sources.corpus import synthesize_page_py
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ).to_pylist()
+    rows = []
+    for d in docs:
+        doc_id, text, lang, source = d["doc_id"], d["text"], d["lang"], d["source"]
+        url, html = synthesize_page_py(doc_id, text, source)
+        key = hashlib.md5(
+            f"{doc_id}|{source}|{lang}|{text}".encode("utf-8")
+        ).hexdigest()
+        try:
+            rendered = html_to_text(html, WIDTH)
+            error = None
+            text_bytes = len(rendered.encode("utf-8"))
+        except RenderError as e:
+            rendered, error, text_bytes = None, type(e).__name__, 0
+        except Exception as e:  # mirror the operator's never-fail contract
+            rendered, error, text_bytes = None, f"Fail:{type(e).__name__}", 0
+        try:
+            lines = html_to_lines(html, WIDTH)
+            n_lines = len(lines)
+            n_links = sum(
+                1
+                for line in lines
+                for ts in line.tagged_strings()
+                for ann in ts.tag
+                if ann and ann[0] == "Link"
+            )
+        except Exception:
+            n_lines, n_links = -1, -1
+        rows.append(
+            {
+                "doc_key": key,
+                "url": url,
+                "text": rendered,
+                "error": error,
+                "text_bytes": text_bytes,
+                "n_lines": n_lines,
+                "n_link_spans": n_links,
+            }
+        )
+    return rows
+
+
+def main() -> None:
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dirs = sys.argv[1:] or DEFAULT_SF_DIRS
+    by_key: dict[str, dict] = {}
+    for sf_dir in sf_dirs:
+        rows = build_rows(sf_dir)
+        for r in rows:
+            by_key[r["doc_key"]] = r
+        print(f"{sf_dir}: {len(rows)} docs rendered")
+    table = pa.Table.from_pylist(
+        sorted(by_key.values(), key=lambda r: r["doc_key"]),
+        schema=pa.schema(
+            [
+                ("doc_key", pa.string()),
+                ("url", pa.string()),
+                ("text", pa.string()),
+                ("error", pa.string()),
+                ("text_bytes", pa.int64()),
+                ("n_lines", pa.int64()),
+                ("n_link_spans", pa.int64()),
+            ]
+        ),
+    )
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    pq.write_table(table, OUT, compression="zstd")
+    print(f"wrote {table.num_rows} goldens to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,34 @@ def test_simhash_udf_matches_reference(spark):
         assert rows[r.doc_id] == simhash_py(r.text)
 
 
+def test_python_page_synthesis_matches_spark(spark):
+    """The single-process corpus replica (used to precompute the driver's
+    render-golden oracle outside Spark) must be byte-identical to the Spark
+    expression pipeline in sources/corpus.py."""
+    from rust_html2text_spark.sources.corpus import load_pages, synthesize_page_py
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    spark_pages = {
+        r.url: bytes(r.html) for r in load_pages(spark, SF_DIR).collect()
+    }
+    assert len(spark_pages) == len(docs)
+    for d in docs:
+        url, html = synthesize_page_py(d.doc_id, d.text, d.source)
+        assert spark_pages[url] == html, url
+
+
+def test_training_pipeline_langs_filter(spark):
+    from rust_html2text_spark.functions.pipeline import training_pipeline
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, SF_DIR)
+    n_all = training_pipeline(pages, langs=None).count()
+    n_en = training_pipeline(pages, langs=("en",)).count()
+    n_none = training_pipeline(pages, langs=("xx",)).count()
+    assert n_none == 0
+    assert 0 < n_en <= n_all
+
+
 def test_simhash_near_dups_guaranteed_recall(spark):
     """With B = max_hamming + 1 bands, the banded candidate set provably
     contains every pair within the threshold (pigeonhole) — so the banded
