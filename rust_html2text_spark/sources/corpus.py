@@ -132,6 +132,31 @@ def load_pages(
     )
 
 
+def expand_pages(pages: DataFrame, mult: int) -> DataFrame:
+    """Multiply a pages table `mult`× with distinct urls AND distinct html
+    bytes per copy (a trailing comment), so dedup-aware paths cannot
+    shortcut.  Used by bench.py / scripts/scaling_bench.py to build a
+    steady-state corpus where per-core compute dominates fixed job-setup
+    overhead — the regime a 1000-executor run lives in."""
+    if mult <= 1:
+        return pages
+    return pages.withColumn(
+        "copy", F.explode(F.sequence(F.lit(1), F.lit(mult)))
+    ).select(
+        F.concat("url", F.lit("?copy="), F.col("copy").cast("string")).alias("url"),
+        "warc_ts",
+        F.concat(
+            "html",
+            F.encode(
+                F.concat(F.lit("<!--"), F.col("copy").cast("string"), F.lit("-->")),
+                "UTF-8",
+            ),
+        ).alias("html"),
+        "text",
+        "lang",
+    )
+
+
 def synthesize_page_py(doc_id: int, text: str, source: str) -> tuple[str, bytes]:
     """Single-process replica of `pages_from_documents` (no skew/oversize):
     returns (url, html_bytes) byte-identical to the Spark expressions above.

@@ -73,26 +73,11 @@ def main() -> None:
     pages_path = os.path.join(tmp, "pages.parquet")
     spark = get_spark(app_name="scaling-prep", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    pages = load_pages(spark, args.sf_dir, skew_fraction=0.05)
-    if args.mult > 1:
-        pages = pages.withColumn(
-            "copy", F.explode(F.sequence(F.lit(1), F.lit(args.mult)))
-        ).select(
-            F.concat("url", F.lit("?copy="), F.col("copy").cast("string")).alias(
-                "url"
-            ),
-            "warc_ts",
-            # distinct bytes per copy so dedup-aware paths can't shortcut
-            F.concat(
-                "html",
-                F.encode(
-                    F.concat(F.lit("<!--"), F.col("copy").cast("string"), F.lit("-->")),
-                    "UTF-8",
-                ),
-            ).alias("html"),
-            "text",
-            "lang",
-        )
+    from rust_html2text_spark.sources.corpus import expand_pages
+
+    pages = expand_pages(
+        load_pages(spark, args.sf_dir, skew_fraction=0.05), args.mult
+    )
     pages.repartition(64).write.mode("overwrite").parquet(pages_path)
     spark.stop()
 
