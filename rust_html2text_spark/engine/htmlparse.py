@@ -21,9 +21,12 @@ from html.parser import HTMLParser
 
 
 class DomNode:
-    __slots__ = ("kind", "name", "attrs", "children", "parent", "text", "extra_styles")
+    __slots__ = (
+        "kind", "name", "attrs", "children", "parent", "text", "extra_styles",
+        "ns",
+    )
 
-    def __init__(self, kind, name=None, attrs=None, text=None):
+    def __init__(self, kind, name=None, attrs=None, text=None, ns=None):
         self.kind = kind  # document | element | text | comment
         self.name = name
         self.attrs = attrs if attrs is not None else {}
@@ -31,6 +34,11 @@ class DomNode:
         self.parent: DomNode | None = None
         self.text = text
         self.extra_styles = None  # css_ext syntax-highlight overlays
+        # Namespace URI.  None = parsed as HTML (everything lives in the
+        # XHTML namespace by construction); the XML parser (xmlparse.py)
+        # sets the resolved xmlns URI, and lower.py only dispatches HTML
+        # semantics for None / XHTML_NS (xml5ever expanded_name parity).
+        self.ns = ns
 
     def append(self, child: "DomNode") -> None:
         child.parent = self
@@ -689,6 +697,12 @@ def parse_html(data: bytes | str, xml_mode: bool | None = None, fast: bool = Tru
         data = data.decode("utf-8", errors="replace")
     if xml_mode is None:
         xml_mode = data.startswith("<?xml")
+    if xml_mode:
+        # xml5ever-equivalent path: case/namespace-preserving, no HTML
+        # tree-builder magic (lib.rs:3025-3033)
+        from .xmlparse import parse_xml as _parse_xml
+
+        return _parse_xml(data)
     builder = TreeBuilder(xml_mode)
     if fast:
         _fast_feed(builder, data)

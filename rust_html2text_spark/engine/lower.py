@@ -208,6 +208,13 @@ def process_dom_node(context, node):
         _distribute_extra_styles(node)
 
     name = node.name
+    if node.ns is not None and node.ns != "http://www.w3.org/1999/xhtml":
+        # xml5ever parity: only XHTML-namespace elements match the HTML
+        # dispatch arms (lib.rs:1934 expanded_name!(html ...)); foreign
+        # elements fall to the unknown-element Container arm.  Tag-name
+        # case is preserved by xmlparse.py, so `<P>` likewise falls
+        # through (the dispatch below is exact-match on lowercase names).
+        name = ""
     use_doc_css = context.use_doc_css
     computed = context.style_data.computed_style(
         context.parent_style, node, use_doc_css
@@ -516,7 +523,11 @@ def _extract_doc_styles(dom):
     stack = [dom]
     while stack:
         node = stack.pop()
-        if node.kind == "element" and node.name == "style":
+        if (
+            node.kind == "element"
+            and node.name == "style"
+            and (node.ns is None or node.ns == "http://www.w3.org/1999/xhtml")
+        ):
             texts.append(
                 "".join(c.text for c in node.children if c.kind == "text")
             )
