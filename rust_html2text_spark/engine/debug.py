@@ -124,6 +124,130 @@ def dump_dom(node, indent: int = 0) -> str:
     return "\n".join(out) + "\n"
 
 
+def _selector_component_str(comp) -> str:
+    """css.rs:63-85 (Display for SelectorComponent)."""
+    from .styles import (
+        C_ATTR,
+        C_CLASS,
+        C_COMB_CHILD,
+        C_COMB_DESC,
+        C_ELEMENT,
+        C_HASH,
+        C_NTH_CHILD,
+        C_STAR,
+    )
+
+    k = comp.kind
+    if k == C_CLASS:
+        return f".{comp.name}"
+    if k == C_ELEMENT:
+        return f"{comp.name}"
+    if k == C_HASH:
+        return f"#{comp.name or comp.value}"
+    if k == C_STAR:
+        return " * "
+    if k == C_COMB_CHILD:
+        return " > "
+    if k == C_COMB_DESC:
+        return " "
+    if k == C_NTH_CHILD:
+        return f":nth-child({comp.a}n+{comp.b})"
+    if k == C_ATTR:
+        if comp.op_equal:
+            return f'[{comp.name} = "{comp.value}"]'
+        return f"[{comp.name}]"
+    return "?"
+
+
+def _selector_str(sel) -> str:
+    """css.rs:94-107: components print right-to-left (stored leaf-first)."""
+    s = "".join(_selector_component_str(c) for c in reversed(sel.components))
+    if sel.pseudo_element == "before":
+        s += "::before"
+    elif sel.pseudo_element == "after":
+        s += "::after"
+    return s
+
+
+def _style_decl_str(decl) -> str:
+    """css.rs:308-341 (Display for StyleDecl)."""
+    from .styles import (
+        DISPLAY_NONE,
+        DISPLAY_RAW_DOM,
+        S_BG_COLOUR,
+        S_COLOUR,
+        S_CONTENT,
+        S_DISPLAY,
+        S_SYNTAX,
+        S_WHITE_SPACE,
+        WS_NORMAL,
+        WS_PRE,
+        WS_PRE_WRAP,
+    )
+
+    k = decl.kind
+    if k == S_COLOUR:
+        r, g, b = decl.value
+        s = f"color: #{r:02x}{g:02x}{b:02x}"
+    elif k == S_BG_COLOUR:
+        r, g, b = decl.value
+        s = f"background-color: #{r:02x}{g:02x}{b:02x}"
+    elif k == S_DISPLAY:
+        s = (
+            "display: none"
+            if decl.value == DISPLAY_NONE
+            else "display: x-raw-dom"
+            if decl.value == DISPLAY_RAW_DOM
+            else f"display: {decl.value}"
+        )
+    elif k == S_WHITE_SPACE:
+        ws = {WS_NORMAL: "normal", WS_PRE: "pre", WS_PRE_WRAP: "pre-wrap"}
+        s = f"white-space: {ws.get(decl.value, decl.value)}"
+    elif k == S_CONTENT:
+        s = f'content: "{decl.value}"'
+    elif k == S_SYNTAX:
+        s = f"x-syntax: {decl.value}"
+    else:
+        s = "?"
+    if decl.important:
+        s += " !important"
+    return s
+
+
+def dump_parsed_style(html, config=None) -> str:
+    """CLI --show-css: the document's parsed stylesheet, formatted like the
+    reference's `dom_to_parsed_style` (lib.rs:1687-1693) / StyleData
+    Display (css.rs:693-715) — agent, then user, then author rules."""
+    from .api import Config, _HtmlContext
+    from .htmlparse import parse_html
+    from .lower import _extract_doc_styles
+
+    if config is None:
+        from .api import plain_config
+
+        config = plain_config()
+    context = _HtmlContext(config)
+    dom = parse_html(html, xml_mode=config.xml)
+    style_data = _extract_doc_styles(dom)
+    style_data.merge(context.style_data)
+
+    out: list[str] = []
+    for title, rules in (
+        ("Agent rules:", style_data.agent_rules),
+        ("User rules:", style_data.user_rules),
+        ("Author rules:", style_data.author_rules),
+    ):
+        if not rules:
+            continue
+        out.append(title)
+        for rule in rules:
+            out.append(f"  {_selector_str(rule.selector)} {{")
+            for decl in rule.styles:
+                out.append(f"    {_style_decl_str(decl)}")
+            out.append("  }")
+    return "\n".join(out) + ("\n" if out else "")
+
+
 def show_render_tree(html, config=None) -> str:
     """Parse + lower and return the render-tree dump (CLI --show-render)."""
     from .api import Config, _HtmlContext

@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--show-text", metavar="URL", help="print one rendered doc")
     ap.add_argument("--show-render", metavar="URL", help="print one doc's render tree (IR dump)")
     ap.add_argument("--show-dom", metavar="URL", help="print one doc's DOM (IR dump)")
+    ap.add_argument(
+        "--show-css",
+        metavar="URL",
+        help="print one doc's parsed stylesheet (agent/user/author rules)",
+    )
     args = ap.parse_args()
 
     from rust_html2text_spark.operators.render import render_pages
@@ -59,7 +64,7 @@ def main() -> None:
     spark = get_spark(app_name="html2text-job", master=args.master)
     pages = spark.read.parquet(args.input)
 
-    debug_url = args.show_text or args.show_render or args.show_dom
+    debug_url = args.show_text or args.show_render or args.show_dom or args.show_css
     if debug_url:
         row = pages.filter(pages.url == debug_url).limit(1).collect()
         if not row:
@@ -78,6 +83,11 @@ def main() -> None:
             from rust_html2text_spark.engine.debug import show_render_tree
 
             print(show_render_tree(html, config))
+        elif args.show_css:
+            # mirrors html2text-cli/src/main.rs:195-201 / dom_to_parsed_style
+            from rust_html2text_spark.engine.debug import dump_parsed_style
+
+            print(dump_parsed_style(html, config))
         else:
             print(html_to_text(html, args.width, config))
         return

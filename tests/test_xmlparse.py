@@ -90,3 +90,24 @@ def test_attribute_case_and_href():
         '<p><a HREF="https://x.example/">l</a></p></body></html>'
     )
     assert "[1]" not in html_to_text(doc2, 40)
+
+
+def test_show_css_dump():
+    """--show-css formatter mirrors StyleData Display (css.rs:693-715)."""
+    from rust_html2text_spark.engine.api import Config
+    from rust_html2text_spark.engine.debug import dump_parsed_style
+
+    html = (
+        b"<html><head><style>p.note { color: red }\n"
+        b"#m > li:nth-child(2n+1) { display: none !important }</style>"
+        b"</head><body><p class='note'>hi</p></body></html>"
+    )
+    out = dump_parsed_style(html, Config(use_doc_css=True))
+    assert "Author rules:" in out
+    assert "  p.note {" in out
+    assert "    color: #ff0000" in out
+    assert "  #m > li:nth-child(2n+1) {" in out
+    assert "    display: none !important" in out
+    # decorator agent rules appear under Agent rules:
+    out2 = dump_parsed_style(b"<p>x</p>", Config(do_decorate=True))
+    assert "Agent rules:" in out2 and "em::before" in out2
