@@ -108,9 +108,18 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_size: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of the MinHash
-    signature (band matches ⇒ candidate)."""
+    signature (band matches ⇒ candidate).
+
+    max_bucket caps the per-(band, key) population: a bucket of B docs
+    yields B² candidate pairs, so one boilerplate-heavy template group can
+    dominate the join output at crawl scale.  Buckets larger than the cap
+    are dropped from THAT band only — a pair sharing a cooler band is
+    still found, and byte-identical groups should be removed by
+    exact_dup_groups first anyway.  None (default) disables the cap.
+    """
     if num_hashes % band_size != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be a multiple of band_size "
@@ -134,6 +143,18 @@ def lsh_candidate_pairs(
     all_bands = sigs.filter(F.col("mh0").isNotNull()).select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
+    if max_bucket is not None:
+        # one aggregation on the same key the join shuffles on (partial
+        # map-side counts), then a semi-join-able filter — no extra shuffle
+        # shape beyond what the self-join already needs
+        sizes = all_bands.groupBy("band", "band_key").agg(
+            F.count("*").alias("_n")
+        )
+        all_bands = (
+            all_bands.join(sizes, ["band", "band_key"])
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     left = all_bands.alias("l")
     right = all_bands.alias("r")
     pairs = (
@@ -154,38 +175,32 @@ def lsh_candidate_pairs(
 def ngram_jaccard(
     docs: DataFrame, pairs: DataFrame | None = None, shingle_size: int = 3
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs (or all pairs of
-    the provided `pairs` frame)."""
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    With pairs=None, candidates come from MinHash-LSH banding (never an
+    all-pairs join — O(n^2) is not a plan that survives scale); pass an
+    explicit `pairs` frame to score a different candidate set.
+    """
     sh = docs.select("doc_id", word_shingles(shingle_size).alias("shingles"))
     if pairs is None:
-        a = sh.alias("a")
-        b = sh.alias("b")
-        joined = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-    else:
-        joined = (
-            pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-            .withColumnRenamed("shingles", "sh_a")
-            .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-            .withColumnRenamed("shingles", "sh_b")
-            .select(
-                F.col("doc_a").alias("a_id"),
-                F.col("doc_b").alias("b_id"),
-                F.col("sh_a"),
-                F.col("sh_b"),
-            )
+        pairs = lsh_candidate_pairs(docs, shingle_size=shingle_size)
+    joined = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .select(
+            F.col("doc_a").alias("a_id"),
+            F.col("doc_b").alias("b_id"),
+            F.col("sh_a"),
+            F.col("sh_b"),
         )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
-        return joined.select(
-            F.col("a_id").alias("doc_a"),
-            F.col("b_id").alias("doc_b"),
-            (inter / union).alias("jaccard"),
-        )
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return joined.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        F.col("a_id").alias("doc_a"),
+        F.col("b_id").alias("doc_b"),
         (inter / union).alias("jaccard"),
     )
 

@@ -212,6 +212,32 @@ def test_minhash_preserves_null_text_docs(spark):
         lsh_candidate_pairs(docs, num_hashes=4, band_size=3)
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops only over-populated band buckets; pairs sharing a
+    cooler band survive, and ngram_jaccard defaults to LSH candidates."""
+    from rust_html2text_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(6)] + [(10, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    uncapped = lsh_candidate_pairs(docs, 4, 2)
+    assert uncapped.count() == 15  # 6 identical docs -> C(6,2)
+    capped = lsh_candidate_pairs(docs, 4, 2, max_bucket=3)
+    assert capped.count() == 0  # both bands of the clone group exceed cap
+    # jaccard over default (LSH) candidates matches explicit-pairs call
+    j_default = {(r.doc_a, r.doc_b) for r in ngram_jaccard(docs).collect()}
+    j_explicit = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard(docs, lsh_candidate_pairs(docs)).collect()
+    }
+    assert j_default == j_explicit
+
+
 def test_embedding_dups_candidates_are_exact_subset(spark):
     """Bucketed near-dup pairs carry the exact cosine and are a subset of
     the exact all-pairs answer; at this sf the target pair is recalled."""
