@@ -232,6 +232,12 @@ def q_knn_lsh(spark, sf_dir):
     return knn_lsh(_emb(spark, sf_dir), k=5, num_queries=10)
 
 
+def q_knn_ivf(spark, sf_dir):
+    from rust_html2text_spark.functions.similarity import knn_ivf
+
+    return knn_ivf(_emb(spark, sf_dir), k=5, num_queries=10)
+
+
 def q_embedding_dups(spark, sf_dir):
     from rust_html2text_spark.functions.similarity import embedding_cosine_dups
 
@@ -369,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
         "pricing_summary": q_pricing_summary,
@@ -434,6 +441,21 @@ def _simhash_sql(table: str = "documents") -> str:
         f"CASE WHEN d.text IS NULL THEN NULL ELSE {packed} END AS simhash "
         f"FROM {table} d LEFT JOIN acc a ON d.doc_id = a.doc_id"
     )
+
+
+def _duck_cosine_expr(a: str, b: str, rounded: bool = True) -> str:
+    """Cosine between two list columns; same in-order sum as the Spark
+    fold, optionally rounded to 6dp (ranking uses the raw value)."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    norm = (
+        "sqrt(list_aggregate(list_transform({v}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+    )
+    expr = f"{dot} / ({norm.format(v=a)} * {norm.format(v=b)})"
+    return f"round({expr}, 6)" if rounded else f"({expr})"
 
 
 def _plane_dot_sql(emb: str, signs: list[float]) -> str:
@@ -621,6 +643,32 @@ def oracle_sql() -> dict[str, str]:
                  scored AS (
                      SELECT query_id, neighbor_id, {_DUCK_COSINE} AS cosine
                      FROM c JOIN q ON c_bucket = q_bucket
+                     WHERE neighbor_id != query_id),
+                 ranked AS (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                     FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "knn_ivf": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cent_emb
+                       FROM embeddings WHERE vec_id < 16),
+                 assign AS (
+                     SELECT e.vec_id, e.embedding, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_duck_cosine_expr("e.embedding", "c.cent_emb", rounded=False)} DESC,
+                                         c.cid ASC) AS crank
+                     FROM embeddings e CROSS JOIN c),
+                 corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, cid
+                            FROM assign WHERE crank = 1),
+                 q AS (SELECT vec_id AS query_id, embedding AS q_emb, cid
+                       FROM assign WHERE vec_id < 10 AND crank <= 2),
+                 scored AS (
+                     SELECT query_id, neighbor_id,
+                            {_duck_cosine_expr("q_emb", "c_emb")} AS cosine
+                     FROM corpus JOIN q USING (cid)
                      WHERE neighbor_id != query_id),
                  ranked AS (
                      SELECT *, row_number() OVER (

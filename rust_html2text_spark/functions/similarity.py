@@ -151,6 +151,67 @@ def knn_lsh(
     )
 
 
+def knn_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    num_queries: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    to their nearest centroid's list, queries probe the `nprobe` nearest
+    lists, and exact cosine runs only within probed lists.
+
+    Centroid selection is pluggable; here it is the deterministic first
+    `num_centroids` vectors (at scale: sample + k-means refresh offline,
+    then broadcast — the assignment/probe plan below is unchanged).  The
+    centroid table broadcasts (num_centroids rows), so assignment is a
+    map-side nested-loop over K small rows per vector; the only shuffles
+    are the per-vector ranking window and the list-id equi-join.
+    """
+    from pyspark.sql.window import Window
+
+    cents = embeddings.filter(F.col("vec_id") < num_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
+    )
+    sim = _cosine(F.col("embedding"), F.col("cent_emb"))
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    assign = (
+        embeddings.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", sim.alias("csim"))
+        .withColumn("crank", F.row_number().over(wa))
+    )
+    corpus = assign.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "cid",
+    )
+    queries = assign.filter(
+        (F.col("vec_id") < num_queries) & (F.col("crank") <= nprobe)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cid"
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
