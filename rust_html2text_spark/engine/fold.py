@@ -50,17 +50,22 @@ def tree_map_reduce(context, top, process_node):
     """
     last = _Frame(lambda ctx, cs: cs.pop() if cs else NOTHING_SENTINEL, None, None, iter([top]))
     pending_stack = []
+    finished_cls = Finished  # local binds: this loop runs per DOM/render node
     while True:
+        prefn = last.prefn
+        postfn = last.postfn
+        children = last.children
         for h in last.to_process:
-            if last.prefn is not None:
-                last.prefn(context, h)
+            if prefn is not None:
+                prefn(context, h)
             res = process_node(context, h)
             if res is None:
                 continue
-            if isinstance(res, Finished):
-                if last.postfn is not None:
-                    last.postfn(context, res.result)
-                last.children.append(res.result)
+            if res.__class__ is finished_cls:
+                r = res.result
+                if postfn is not None:
+                    postfn(context, r)
+                children.append(r)
             else:
                 pending_stack.append(last)
                 last = _Frame(res.cons, res.prefn, res.postfn, iter(res.children))
@@ -68,12 +73,12 @@ def tree_map_reduce(context, top, process_node):
         else:
             if pending_stack:
                 parent = pending_stack.pop()
-                node = last.construct(context, last.children)
+                node = last.construct(context, children)
                 if node is not NOTHING_SENTINEL:
                     if parent.postfn is not None:
                         parent.postfn(context, node)
                     parent.children.append(node)
                 last = parent
                 continue
-            result = last.construct(context, last.children)
+            result = last.construct(context, children)
             return None if result is NOTHING_SENTINEL else result
