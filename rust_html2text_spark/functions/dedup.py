@@ -144,14 +144,14 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_key").alias("band_key"))
     if max_bucket is not None:
-        # one aggregation on the same key the join shuffles on (partial
-        # map-side counts), then a semi-join-able filter — no extra shuffle
-        # shape beyond what the self-join already needs
-        sizes = all_bands.groupBy("band", "band_key").agg(
-            F.count("*").alias("_n")
-        )
+        # window count over the join key itself: one extra shuffle on the
+        # SAME key the self-join needs, and — unlike a count-join — the
+        # signature pipeline is not recomputed for a second branch
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", "band_key")
         all_bands = (
-            all_bands.join(sizes, ["band", "band_key"])
+            all_bands.withColumn("_n", F.count("*").over(wb))
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )

@@ -167,7 +167,10 @@ def knn_ivf(
     then broadcast — the assignment/probe plan below is unchanged).  The
     centroid table broadcasts (num_centroids rows), so assignment is a
     map-side nested-loop over K small rows per vector; the only shuffles
-    are the per-vector ranking window and the list-id equi-join.
+    are the per-vector ranking window and the list-id equi-join.  The
+    assignment lineage is referenced by both the corpus and query branches,
+    but the query branch's `vec_id < num_queries` filter pushes below its
+    window, so the duplicated recompute covers only the query vectors.
     """
     from pyspark.sql.window import Window
 
