@@ -125,6 +125,16 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_pipeline(pages, width=WIDTH)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal over the extracted text."""
+    from rust_html2text_spark.functions.webtext import remove_repeated_lines
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    rendered = render_pages(load_pages(spark, sf_dir), width=WIDTH)
+    return remove_repeated_lines(rendered, min_count=2)
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -159,6 +169,29 @@ def q_fingerprint(spark, sf_dir):
     from rust_html2text_spark.functions.textstats import fingerprint
 
     return fingerprint(_docs(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    from rust_html2text_spark.functions.webtext import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir):
+    # deterministically inject one email + one phone per doc so the
+    # redaction regexes are actually exercised (mirrored in the oracle)
+    from rust_html2text_spark.functions.webtext import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    return pii_scrub(docs.withColumn("text", aug))
 
 
 # --- dedup ---------------------------------------------------------------------
@@ -362,10 +395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_rich_spans": q_render_rich_spans,
         "render_dedup": q_render_dedup,
         "training_pipeline": q_training_pipeline,
+        "line_dedup": q_line_dedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
+        "gopher_quality": q_gopher_quality,
+        "pii_scrub": q_pii_scrub,
         "exact_dup_groups": q_exact_dup_groups,
         "prefix_dup_groups": q_prefix_dup_groups,
         "minhash_signatures": q_minhash_signatures,
@@ -558,6 +594,76 @@ def oracle_sql() -> dict[str, str]:
                      FROM kept)
             SELECT url, text, n_tokens, quality, fingerprint
             FROM ranked WHERE rn = 1
+        """,
+        "line_dedup": f"""
+            WITH r AS (SELECT url, text FROM ({_RENDERED})),
+                 l AS (SELECT url, u.pos, u.line
+                       FROM r, (SELECT unnest(str_split(text, chr(10))) AS line,
+                                       generate_subscripts(str_split(text, chr(10)), 1) AS pos) u),
+                 bad AS (SELECT line FROM l WHERE line <> ''
+                         GROUP BY line HAVING count(*) >= 2),
+                 kept AS (SELECT * FROM l
+                          WHERE line NOT IN (SELECT line FROM bad)),
+                 agg AS (SELECT url,
+                                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                                count(*) AS n_lines_kept
+                         FROM kept GROUP BY url)
+            SELECT r.url,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   coalesce(agg.n_lines_kept, 0) AS n_lines_kept
+            FROM r LEFT JOIN agg ON r.url = agg.url
+        """,
+        "gopher_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+                       length(regexp_replace(text, '\s', '', 'g')) AS nonspace
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(toks) AS n_words,
+                       nonspace * 1.0 / len(toks) AS mean_word_len,
+                       length(regexp_replace(text, '[^#*…]', '', 'g')) * 1.0
+                           / length(text) AS symbol_ratio,
+                       CASE WHEN len(toks) >= 2 THEN
+                           1.0 - len(list_distinct(list_transform(
+                               range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+                               * 1.0 / (len(toks) - 1)
+                       ELSE 0.0 END AS dup_bigram_frac
+                FROM t
+            )
+            SELECT doc_id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(symbol_ratio, 6) AS symbol_ratio,
+                   round(dup_bigram_frac, 6) AS dup_bigram_frac,
+                   (n_words >= 50 AND mean_word_len >= 3 AND mean_word_len <= 10
+                    AND symbol_ratio < 0.1 AND dup_bigram_frac < 0.2) AS passes_gopher
+            FROM m
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 (555) 123-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || '.' AS text
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS after_email
+                FROM aug
+            )
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(after_email,
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phones,
+                   regexp_replace(after_email,
+                       '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM e
         """,
         "token_count": f"""
             SELECT doc_id,

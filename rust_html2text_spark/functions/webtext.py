@@ -1,0 +1,118 @@
+"""Web-corpus curation operators: the post-extraction cleanup stage of a
+large-scale training-data pipeline (C4 / Gopher-style rules), Spark-first.
+
+All three operators are whole-stage-codegen expressions or standard
+shuffle shapes — no Python in any hot path — and each has an exact DuckDB
+oracle in __spark_entry__:
+
+- `remove_repeated_lines`: C4-style boilerplate-line removal over the
+  *extracted* text.  The frequent-line set is computed with a map-side-
+  combined groupBy, filtered to lines at/above the threshold (a small
+  frame), and removed with a left_anti join — never a window over the
+  raw line stream, which would concentrate hot lines (blank lines,
+  boilerplate headers) into single partitions at crawl scale.
+- `gopher_quality`: per-document repetition/shape signals (word counts,
+  mean word length, symbol ratio, duplicate-bigram fraction) with a
+  composite pass flag, thresholds adapted from the Gopher quality rules.
+- `pii_scrub`: email/phone redaction via regexp_replace, patterns
+  restricted to syntax with identical semantics in Java regex (Spark) and
+  RE2 (DuckDB) so the oracle can mirror them literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Conservative patterns valid (and identical) in Java regex and RE2:
+# no lookaround, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def remove_repeated_lines(
+    rendered: DataFrame,
+    min_count: int = 2,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every line that occurs `min_count`+ times across the corpus
+    (boilerplate: navigation, headers, footers).  Empty lines are kept —
+    they carry block structure, not content.  Returns one row per input
+    row: (key, clean_text, n_lines_kept)."""
+    lines = rendered.select(
+        key_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    bad = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("line")
+    )
+    kept = lines.join(bad, "line", "left_anti")
+    reassembled = kept.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        rendered.select(key_col)
+        .join(reassembled, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document quality signals + composite pass flag."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_word_len = nonspace / n_words
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", r"[^#*…]", "")) / F.length("text")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(1), F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    dup_bigram_frac = F.when(
+        n_words >= 2,
+        1.0 - F.size(F.array_distinct(bigrams)) / (n_words - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    passes = (
+        (n_words >= 50)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (dup_bigram_frac < 0.2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(dup_bigram_frac, 6).alias("dup_bigram_frac"),
+        passes.alias("passes_gopher"),
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails then phone numbers; returns counts and the scrubbed
+    text (hash the text for cheap cross-engine comparison)."""
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    phones = F.regexp_count(after_email, F.lit(PHONE_RE))
+    clean = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        clean.alias("clean_text"),
+    )

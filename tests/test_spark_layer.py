@@ -387,3 +387,48 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert rows == []
     total = spark.sql("select count(distinct content_hash) c from first_seen").collect()
     assert total[0]["c"] == 30
+
+
+def test_remove_repeated_lines_semantics(spark):
+    from rust_html2text_spark.functions.webtext import remove_repeated_lines
+
+    rows = [
+        ("u1", "HEADER\nalpha\n\nbeta"),
+        ("u2", "HEADER\ngamma\n\ndelta"),
+        ("u3", "unique only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = {r.url: r for r in remove_repeated_lines(df, min_count=2).collect()}
+    # HEADER occurs twice -> removed; empty lines kept
+    assert out["u1"].clean_text == "alpha\n\nbeta"
+    assert out["u2"].clean_text == "gamma\n\ndelta"
+    assert out["u3"].clean_text == "unique only"
+    assert out["u1"].n_lines_kept == 3
+
+
+def test_pii_scrub_redacts(spark):
+    from rust_html2text_spark.functions.webtext import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@sub.example.org or call +44 (20) 7946-0958 now")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df).collect()[0]
+    assert r.n_emails == 1 and r.n_phones == 1
+    assert "<EMAIL>" in r.clean_text and "<PHONE>" in r.clean_text
+    assert "example.org" not in r.clean_text and "7946" not in r.clean_text
+
+
+def test_gopher_quality_flags(spark):
+    from rust_html2text_spark.functions.webtext import gopher_quality
+
+    good = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    repetitive = "spam ham " * 60
+    df = spark.createDataFrame(
+        [(1, good), (2, repetitive), (3, "## # * …")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(df).collect()}
+    assert out[1].passes_gopher
+    assert not out[2].passes_gopher  # dup_bigram_frac ~ 1
+    assert not out[3].passes_gopher  # symbol soup / too short
