@@ -3,6 +3,10 @@ on Spark and its oracle_sql() on DuckDB over the same parquet, compare
 row-count, schema width and order-insensitive values.
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Env: SPARK_GRAFT_CHECK_MASTER (default local[8]) — run with local[32] to
+replicate the driver's parallelism (float-sum order hazards only show up
+at high parallelism; all aggregates are DECIMAL-exact now, but keep
+checking).
 """
 
 from __future__ import annotations
@@ -40,7 +44,9 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(master="local[8]")
+    import os
+
+    spark = get_spark(master=os.environ.get("SPARK_GRAFT_CHECK_MASTER", "local[8]"))
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
