@@ -289,6 +289,32 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media_from_documents(_docs(spark, sf_dir)))
 
 
+def q_media_decode(spark, sf_dir):
+    """Real codec round trip: synthesize PNG/WAV payloads, decode them,
+    extract features.  The oracle recomputes features analytically from
+    the generating formulas — it never decodes a byte."""
+    from rust_html2text_spark.functions.multimodal import (
+        decode_media,
+        synthesize_media,
+    )
+
+    return decode_media(synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_media_resize(spark, sf_dir):
+    """Decode → nearest-neighbour resize → re-encode → decode again."""
+    from rust_html2text_spark.functions.multimodal import (
+        decode_media,
+        resize_images,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_docs(spark, sf_dir)).filter(F.col("kind") == "image")
+    return decode_media(resize_images(media, 4, 4)).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 # --- relational layer (join/agg/window on the star schema) ----------------------
 
 
@@ -414,6 +440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
+        "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_by_type": q_events_by_type,
@@ -820,6 +848,53 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand p JOIN a ON p.vec_a = a.vec_a JOIN b ON p.vec_b = b.vec_b "
             f"WHERE {_DUCK_COSINE} > 0.5"
         ),
+        "media_decode": """
+            WITH base AS (SELECT doc_id AS d FROM documents),
+                 imf AS (
+                     SELECT d, 8 + d % 8 AS w, 8 + d % 5 AS h,
+                            list_aggregate(flatten(list_transform(range(0, 8 + d % 5), y ->
+                                list_transform(range(0, 8 + d % 8), x -> (x + y + d) % 256))), 'sum')
+                                * 1.0 / ((8 + d % 8) * (8 + d % 5)) AS mean_r,
+                            list_aggregate(flatten(list_transform(range(0, 8 + d % 5), y ->
+                                list_transform(range(0, 8 + d % 8), x -> (2 * x + d) % 256))), 'sum')
+                                * 1.0 / ((8 + d % 8) * (8 + d % 5)) AS mean_g,
+                            list_aggregate(flatten(list_transform(range(0, 8 + d % 5), y ->
+                                list_transform(range(0, 8 + d % 8), x -> (3 * y + d) % 256))), 'sum')
+                                * 1.0 / ((8 + d % 8) * (8 + d % 5)) AS mean_b
+                     FROM base WHERE d % 3 = 0),
+                 aud AS (
+                     SELECT d, 800 + d % 100 AS n,
+                            sqrt(list_aggregate(list_transform(range(0, 800 + d % 100),
+                                i -> ((i * (d + 7)) % 2003 - 1001) * ((i * (d + 7)) % 2003 - 1001)), 'sum')
+                                * 1.0 / (800 + d % 100)) AS rms
+                     FROM base WHERE d % 3 = 1)
+            SELECT b.d AS media_id,
+                   CASE WHEN b.d % 3 = 0 THEN 'image'
+                        WHEN b.d % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(imf.w AS INT) AS width, CAST(imf.h AS INT) AS height,
+                   imf.mean_r, imf.mean_g, imf.mean_b,
+                   CAST(CASE WHEN b.d % 3 = 1 THEN 8000 END AS INT) AS sample_rate,
+                   CAST(aud.n AS INT) AS n_samples, aud.rms,
+                   CASE WHEN b.d % 3 = 2
+                        THEN 'NotImplemented:video codec not available; frame-sample stubbed'
+                   END AS error
+            FROM base b LEFT JOIN imf ON b.d = imf.d LEFT JOIN aud ON b.d = aud.d
+        """,
+        "media_resize": """
+            WITH img AS (SELECT doc_id AS d, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+                         FROM documents WHERE doc_id % 3 = 0)
+            SELECT d AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+                   list_aggregate(flatten(list_transform(range(0, 4), y ->
+                       list_transform(range(0, 4), x -> ((x * w) // 4 + (y * h) // 4 + d) % 256))), 'sum')
+                       * 1.0 / 16 AS mean_r,
+                   list_aggregate(flatten(list_transform(range(0, 4), y ->
+                       list_transform(range(0, 4), x -> (2 * ((x * w) // 4) + d) % 256))), 'sum')
+                       * 1.0 / 16 AS mean_g,
+                   list_aggregate(flatten(list_transform(range(0, 4), y ->
+                       list_transform(range(0, 4), x -> (3 * ((y * h) // 4) + d) % 256))), 'sum')
+                       * 1.0 / 16 AS mean_b
+            FROM img
+        """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
