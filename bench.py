@@ -90,7 +90,7 @@ def main() -> None:
         timings["render_dedup"] = round(time.monotonic() - t0, 3)
         assert dd["n"] == n_docs
 
-        # secondary headline queries (JVM-side pipeline ops)
+        # secondary headline queries (JVM-side pipeline ops), best of 2
         for name in (
             "token_count",
             "quality_score",
@@ -101,10 +101,14 @@ def main() -> None:
             "pricing_summary",
         ):
             fn = entrymod.queries()[name]
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _pass in range(2):
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                sec = time.monotonic() - t0
+                best = sec if best is None else min(best, sec)
+            timings[name] = round(best, 3)
 
         total = round(sum(timings.values()), 3)
         print(

@@ -10,7 +10,12 @@ same property with bucket-grained idempotent writes:
   (row/byte/error counts, input path, config);
 - `run_with_resume` skips buckets already in the manifest, so a re-run
   after a crash reprocesses only missing buckets and never duplicates
-  output.
+  output;
+- when every bucket is committed, a table-level snapshot
+  (`_manifest/_snapshot-<id>.json`, chained via `parent_id`, with a
+  `_current` pointer swapped by atomic rename) records the aggregate
+  lineage — the Iceberg snapshot-log analogue: readers pin `_current`,
+  writers only ever add files then swing the pointer.
 
 At 10^12 docs each bucket is still thousands of tasks; the bucket is a
 commit/checkpoint unit, not a parallelism unit.
@@ -35,9 +40,52 @@ def completed_buckets(out_path: str) -> set[int]:
         return set()
     done = set()
     for name in os.listdir(mdir):
-        if name.endswith(".json"):
+        if name.endswith(".json") and name[:-5].isdigit():
             done.add(int(name[:-5]))
     return done
+
+
+def current_snapshot(out_path: str) -> dict | None:
+    """The snapshot `_current` points at, or None before the first full
+    commit."""
+    cur = os.path.join(_manifest_dir(out_path), "_current")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as fh:
+        snap_name = fh.read().strip()
+    with open(os.path.join(_manifest_dir(out_path), snap_name)) as fh:
+        return json.load(fh)
+
+
+def _commit_snapshot(out_path: str, num_buckets: int, width: int) -> dict:
+    """Aggregate all bucket manifests into a table-level snapshot and swing
+    the `_current` pointer (both writes are atomic renames)."""
+    mdir = _manifest_dir(out_path)
+    totals = {"rows": 0, "errors": 0, "html_bytes": 0, "text_bytes": 0}
+    for b in range(num_buckets):
+        with open(os.path.join(mdir, f"{b}.json")) as fh:
+            m = json.load(fh)
+        for k in totals:
+            totals[k] += m[k]
+    parent = current_snapshot(out_path)
+    snap = {
+        "snapshot_id": (parent["snapshot_id"] + 1) if parent else 1,
+        "parent_id": parent["snapshot_id"] if parent else None,
+        "committed_at": time.time(),
+        "buckets": num_buckets,
+        "width": width,
+        **totals,
+    }
+    name = f"_snapshot-{snap['snapshot_id']}.json"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(snap, fh)
+    os.rename(tmp, os.path.join(mdir, name))
+    ptr_tmp = os.path.join(mdir, "._current.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(name)
+    os.rename(ptr_tmp, os.path.join(mdir, "_current"))
+    return snap
 
 
 def run_with_resume(
@@ -87,4 +135,13 @@ def run_with_resume(
             json.dump(manifest, fh)
         os.rename(tmp, final)  # atomic commit
         summary["rows"] += stats["rows"]
+    if len(completed_buckets(out_path)) == num_buckets and summary["rows"] > 0:
+        summary["snapshot_id"] = _commit_snapshot(out_path, num_buckets, width)[
+            "snapshot_id"
+        ]
+    elif len(completed_buckets(out_path)) == num_buckets:
+        snap = current_snapshot(out_path)
+        if snap is None:  # crash between last bucket and snapshot commit
+            snap = _commit_snapshot(out_path, num_buckets, width)
+        summary["snapshot_id"] = snap["snapshot_id"]
     return summary

@@ -91,11 +91,22 @@ def test_resumable_sink(spark, tmp_path):
     assert s2["buckets_skipped"] == 4
     assert s2["rows"] == 0
 
+    # snapshot committed once all buckets are in; no-op run reuses it
+    from rust_html2text_spark.sources.sink import current_snapshot
+
+    snap = current_snapshot(out)
+    assert snap is not None and snap["rows"] == 80 and snap["snapshot_id"] == 1
+    assert s2["snapshot_id"] == 1
+
     # simulate a crash before bucket 2's commit
     (tmp_path / "out/_manifest/2.json").unlink()
     s3 = run_with_resume(pages, out, num_buckets=4)
     assert s3["buckets_skipped"] == 3
     assert spark.read.parquet(f"{out}/bucket=*").count() == 80
+    # repair run advances the snapshot chain
+    snap2 = current_snapshot(out)
+    assert snap2["snapshot_id"] == 2 and snap2["parent_id"] == 1
+    assert snap2["rows"] == 80
 
 
 def test_streaming_matches_batch(spark, tmp_path):
