@@ -115,3 +115,44 @@ def start_render_stream(
         .outputMode("append")
         .start()
     )
+
+
+def curate_stream(
+    pages: DataFrame,
+    width: int = 80,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] | None = ("en",),
+) -> DataFrame:
+    """Streaming counterpart of functions.pipeline.training_pipeline up to
+    the dedup stage: render → quality score → language gate, all on the
+    micro-batch stream (the scoring expressions are whole-stage codegen and
+    stream-safe).  Chain `streaming.stateful.first_seen` on the emitted
+    `fingerprint` for cross-batch dedup."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.textstats import (
+        EN_STOPWORDS,
+        _stopword_hits,
+        pred_lang_col,
+        tokens_col,
+    )
+
+    rendered = render_stream(pages, width).filter(F.col("error").isNull())
+    toks = tokens_col("text")
+    n_tokens = F.size(toks)
+    quality = (
+        F.length(F.regexp_replace("text", r"[^A-Za-z]", "")) / F.length("text")
+    ) * 0.5 + (_stopword_hits(EN_STOPWORDS) / n_tokens) * 0.5
+    scored = rendered.select(
+        "url",
+        "text",
+        n_tokens.alias("n_tokens"),
+        F.round(quality, 6).alias("quality"),
+        pred_lang_col("text").alias("pred_lang"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("fingerprint"),
+    ).filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        scored = scored.filter(F.col("pred_lang").isin(list(langs)))
+    return scored.drop("pred_lang")

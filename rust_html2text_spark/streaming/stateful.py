@@ -66,11 +66,16 @@ def _dedup_fn(
     )
 
 
-def first_seen_documents(pages_stream: DataFrame) -> DataFrame:
-    """Streaming pages → one output row per *distinct* document content,
-    emitted on first sight; later duplicates only bump the state counter."""
-    hashed = pages_stream.select(
-        F.md5(F.col("html")).alias("content_hash"), "url"
+def first_seen(stream: DataFrame, key_col) -> DataFrame:
+    """Generic cross-batch first-seen dedup: one output row per distinct
+    `key_col` value, emitted when first sighted; later arrivals only bump
+    the per-key state counter.  `key_col` may be a column name or
+    expression (e.g. a content hash, a text fingerprint)."""
+    hashed = stream.select(
+        (F.col(key_col) if isinstance(key_col, str) else key_col).alias(
+            "content_hash"
+        ),
+        "url",
     )
     return hashed.groupBy("content_hash").applyInPandasWithState(
         _dedup_fn,
@@ -79,3 +84,9 @@ def first_seen_documents(pages_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def first_seen_documents(pages_stream: DataFrame) -> DataFrame:
+    """Streaming pages → one output row per *distinct* document content,
+    emitted on first sight (streaming counterpart of render_pages_deduped)."""
+    return first_seen(pages_stream, F.md5(F.col("html")))

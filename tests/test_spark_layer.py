@@ -400,6 +400,53 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert total[0]["c"] == 30
 
 
+def test_streaming_curation_matches_batch(spark, tmp_path):
+    """Streaming curate (render → quality/lang gate) + stateful first-seen
+    dedup on the text fingerprint == the batch training_pipeline (single
+    trigger, so within-batch first-url tiebreak = global lexicographic)."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.pipeline import training_pipeline
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.streaming.pipeline import curate_stream, stream_pages
+    from rust_html2text_spark.streaming.stateful import first_seen
+
+    pages = load_pages(spark, SF_DIR).limit(40)
+    # inject duplicates under new urls so the dedup stage has real work
+    dups = pages.limit(8).withColumn(
+        "url", F.concat(F.lit("https://mirror.example/"), F.col("url"))
+    )
+    all_pages = pages.unionByName(dups)
+    inp = str(tmp_path / "in")
+    all_pages.coalesce(1).write.parquet(inp)
+
+    curated = curate_stream(stream_pages(spark, inp), langs=("en",))
+    deduped = first_seen(curated, "fingerprint")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = {
+        r.content_hash: (r.url, r.n_duplicates)
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+
+    batch = {
+        r.fingerprint: r.url
+        for r in training_pipeline(all_pages, langs=("en",)).collect()
+    }
+    assert set(streamed) == set(batch)
+    for fp, (url, _n) in streamed.items():
+        assert batch[fp] == url, fp
+    # the 8 mirrored docs must show up as duplicate counts, not new rows
+    assert sum(n for _u, n in streamed.values()) == len(batch) + 8
+
+
 def test_remove_repeated_lines_semantics(spark):
     from rust_html2text_spark.functions.webtext import remove_repeated_lines
 
