@@ -73,10 +73,13 @@ def crawl_rate_metrics(
 
 def render_stream_with_ts(pages: DataFrame, width: int = 80) -> DataFrame:
     """Streaming render that keeps the event timestamp for windowed metrics."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructField, TimestampType
+    from pyspark.sql.types import StructField, StructType, TimestampType
 
-    schema = RENDER_SCHEMA.add(StructField("warc_ts", TimestampType()))
+    # NOT RENDER_SCHEMA.add(...): StructType.add mutates in place, which
+    # would poison the shared batch schema for the rest of the session
+    schema = StructType(
+        list(RENDER_SCHEMA.fields) + [StructField("warc_ts", TimestampType())]
+    )
     fn = _render_batch_fn(width, {})
 
     def batches(it):
