@@ -128,11 +128,23 @@ def render_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     outlier_bytes: int | None = 1 << 20,
+    repartition: str = "salted",
 ) -> DataFrame:
     """Render a pages DataFrame (url, html, ...) to (url, text, error, sizes).
 
     Only url+html are read — column pruning keeps the scan narrow.
+
+    repartition="salted" (default) shuffles on xxhash64(url, salt) to
+    decorrelate hot hosts from file layout — the safe choice for raw crawl
+    input, at the cost of moving every html byte through one shuffle.
+    repartition="none" keeps the scan-aligned file splits (measured ~17%
+    faster even at local scale; at 100 TB it is the difference between
+    shuffling the corpus once and not) — correct when the input is already
+    well-distributed, e.g. the output of an upstream shuffle such as
+    render_pages_deduped's distinct stage.
     """
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
     cols = ["url", "html"]
     if "width" in df.columns:
         cols.append("width")
@@ -148,7 +160,8 @@ def render_pages(
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     n = int(n)
     key = F.xxhash64(F.col("url"), F.lit(salt))
-    normal = normal.repartition(n, key)
+    if repartition == "salted":
+        normal = normal.repartition(n, key)
 
     fn = _render_batch_fn(width, config_kwargs or {})
     out = normal.mapInPandas(fn, RENDER_SCHEMA)
@@ -187,6 +200,10 @@ def render_pages_deduped(
         num_partitions=num_partitions,
         salt=salt,
         outlier_bytes=None,
+        # dropDuplicates already shuffled on the content hash — the data is
+        # hash-balanced by construction, so a second url-hash shuffle of
+        # every html byte would be pure overhead
+        repartition="none",
     ).withColumnRenamed("url", "content_hash")
     return hashed.select("url", "content_hash").join(
         rendered, "content_hash"
