@@ -182,7 +182,13 @@ def main() -> None:
         "",
         "Reference baseline: the reference repo publishes no absolute",
         "benchmark numbers (see BASELINE.md); its microbench suite is",
-        "table-layout-focused `cargo bench` with unrecorded values.",
+        "table-layout-focused `cargo bench` with unrecorded values.  Building",
+        "the reference to measure it directly was attempted in this sandbox",
+        "and is not possible (cargo present but no network and no vendored",
+        "registry, so its html5ever/tendril dependency tree cannot resolve) —",
+        "the pinned raw-multiprocessing ceiling above is therefore the",
+        "strongest available comparator: Spark adds ~0% overhead on top of",
+        "the kernel.",
         "",
         "_Generated by scripts/scaling_bench.py._",
     ]
