@@ -125,6 +125,21 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_pipeline(pages, width=WIDTH)
 
 
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl accounting over the pages table (a crawl pipeline's
+    first sanity query: who dominates the corpus)."""
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, sf_dir, skew_fraction=0.05)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    return (
+        pages.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    )
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate-line removal over the extracted text."""
     from rust_html2text_spark.functions.webtext import remove_repeated_lines
@@ -421,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_rich_spans": q_render_rich_spans,
         "render_dedup": q_render_dedup,
         "training_pipeline": q_training_pipeline,
+        "host_stats": q_host_stats,
         "line_dedup": q_line_dedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -622,6 +638,14 @@ def oracle_sql() -> dict[str, str]:
                      FROM kept)
             SELECT url, text, n_tokens, quality, fingerprint
             FROM ranked WHERE rn = 1
+        """,
+        "host_stats": """
+            SELECT CASE WHEN doc_id % 20 = 0 THEN 'hot.example.com'
+                        ELSE 'www.' || source || '.example.com' END AS host,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
+            ORDER BY n_docs DESC, host ASC
         """,
         "line_dedup": f"""
             WITH r AS (SELECT url, text FROM ({_RENDERED})),
