@@ -1,0 +1,62 @@
+"""Driver-contract guards (no Spark): every query has an oracle, every
+oracle parses in DuckDB against the registered views, and the render
+oracles' goldens parquet is present and well-formed."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+duckdb = pytest.importorskip("duckdb")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_every_query_has_an_oracle():
+    import __spark_entry__ as m
+
+    assert set(m.queries()) == set(m.oracle_sql())
+
+
+def test_every_oracle_parses_and_plans(con):
+    import __spark_entry__ as m
+
+    for name, sql in m.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - failure reporting
+            raise AssertionError(f"oracle for {name!r} failed to plan: {e}")
+
+
+def test_render_goldens_parquet_wellformed(con):
+    rel = con.sql(
+        "SELECT count(*) AS n, count(DISTINCT doc_key) AS k,"
+        " sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS errs"
+        " FROM read_parquet('/root/repo/goldens/render_goldens.parquet')"
+    ).fetchone()
+    n, k, errs = rel
+    assert n >= 6000 and k == n
+    assert errs == 0
+    # every sf0.001 document is covered by a golden
+    (missing,) = con.sql(
+        "SELECT count(*) FROM documents d WHERE NOT EXISTS ("
+        "  SELECT 1 FROM read_parquet('/root/repo/goldens/render_goldens.parquet') g"
+        "  WHERE g.doc_key = md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source"
+        "        || '|' || d.lang || '|' || d.text))"
+    ).fetchone()
+    assert missing == 0
