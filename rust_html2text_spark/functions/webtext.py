@@ -71,6 +71,50 @@ def remove_repeated_lines(
     )
 
 
+def canonicalize_url(url_col):
+    """Canonical form for crawl dedup: drop fragment and query string,
+    lowercase the scheme://host prefix, strip trailing slashes.  Built
+    only from operations with identical semantics in Spark and DuckDB
+    (no replacement backreferences — the dialects disagree on $1 vs \\1)."""
+    no_frag = F.regexp_replace(url_col, r"#.*$", "")
+    no_query = F.regexp_replace(no_frag, r"\?.*$", "")
+    head = F.regexp_extract(no_query, r"^([A-Za-z]+://[^/]+)", 1)
+    tail = F.regexp_replace(no_query, r"^[A-Za-z]+://[^/]+", "")
+    return F.concat(F.lower(head), F.regexp_replace(tail, r"/+$", ""))
+
+
+def url_dup_groups(pages: DataFrame) -> DataFrame:
+    """Groups of urls that canonicalize to the same address (http/https
+    twins, tracking params, fragments, trailing slashes)."""
+    return (
+        pages.select(canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_urls"))
+        .filter(F.col("n_urls") > 1)
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row is kept iff the first 8
+    hex chars of md5(key) fall below fraction * 2^32.  Hash-thresholding
+    (not rand()) makes the sample reproducible across runs, engines and
+    partitionings — the property an eval-set split needs.  Strata not in
+    `fractions` are dropped."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    cond = None
+    for stratum, frac in sorted(fractions.items()):
+        this = (F.col(strata_col) == stratum) & (bucket < int(frac * (1 << 32)))
+        cond = this if cond is None else (cond | this)
+    return docs.filter(cond)
+
+
 def gopher_quality(docs: DataFrame) -> DataFrame:
     """Gopher-style per-document quality signals + composite pass flag."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")

@@ -111,3 +111,37 @@ def test_show_css_dump():
     # decorator agent rules appear under Agent rules:
     out2 = dump_parsed_style(b"<p>x</p>", Config(do_decorate=True))
     assert "Agent rules:" in out2 and "em::before" in out2
+
+
+def test_xmlparse_never_crashes_and_tree_is_sound():
+    """Fuzz robustness: arbitrary byte soup must parse into a well-formed
+    tree (recovering parser contract), with parents set and no cycles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_html2text_spark.engine.xmlparse import parse_xml
+
+    fragments = st.sampled_from(
+        ["<a>", "</a>", "<a/>", "<A>", "</A>", "<a b='c'>", "<a b=\"c\"/>",
+         "text", "&amp;", "&#65;", "&bogus;", "<!--", "-->", "<![CDATA[x]]>",
+         "<![CDATA[", "<?pi?>", "<!DOCTYPE x>", "<", ">", "=", "'", '"',
+         "<x:y xmlns:x='urn:z'>", "</x:y>", "\n", " ", "<a b", "<a b=",
+         "\x00", "é", "🎈"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(fragments, max_size=30))
+    def run(parts):
+        doc = parse_xml("".join(parts))
+        stack = [(doc, 0)]
+        seen = set()
+        while stack:
+            node, depth = stack.pop()
+            assert id(node) not in seen, "cycle"
+            seen.add(id(node))
+            assert depth < 200
+            for c in node.children:
+                assert c.parent is node
+                stack.append((c, depth + 1))
+
+    run()
