@@ -284,13 +284,23 @@ def simhash_band_widths(max_hamming: int) -> list[int]:
     return [base + 1] * rem + [base] * (num_bands - rem)
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_near_dups(
+    docs: DataFrame, max_hamming: int = 8, max_bucket: int | None = None
+) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, with *guaranteed*
     recall: the 64 bits split into max_hamming + 1 bands, so every pair
     within the threshold shares at least one exact band (pigeonhole) and
     the banded candidate set provably contains the full answer.  Tighter
     thresholds mean fewer, wider bands — i.e. smaller buckets — so the
-    parameter that improves precision also improves scale."""
+    parameter that improves precision also improves scale: max_hamming=3
+    gives 4 bands of 16 bits (65k buckets per band, ~n/65k expected
+    members), while max_hamming=8 gives 9 bands of ~7 bits (128 buckets,
+    ~n/128 members — fine at sf-scale, hostile at 10^9 docs).  At crawl
+    scale either lower the threshold or set `max_bucket` to drop
+    over-populated band buckets; the cap BREAKS the recall guarantee for
+    pairs whose every shared band is hot, in exchange for bounded work
+    (the capped buckets are dominated by templated near-identical content
+    that exact dedup should have removed first)."""
     s = simhash(docs).filter(F.col("simhash").isNotNull())
     widths = simhash_band_widths(max_hamming)
     bands = []
@@ -310,6 +320,15 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     all_bands = bands[0]
     for other in bands[1:]:
         all_bands = all_bands.unionByName(other)
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("band", "band_key")
+        all_bands = (
+            all_bands.withColumn("_n", F.count("*").over(wb))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     l = all_bands.alias("l")
     r = all_bands.alias("r")
     cand = (
