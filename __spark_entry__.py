@@ -317,6 +317,12 @@ def q_knn_ivf(spark, sf_dir):
     return knn_ivf(_emb(spark, sf_dir), k=5, num_queries=10)
 
 
+def q_knn_ivf_kmeans(spark, sf_dir):
+    from rust_html2text_spark.functions.similarity import knn_ivf
+
+    return knn_ivf(_emb(spark, sf_dir), k=5, num_queries=10, kmeans_iters=2)
+
+
 def q_embedding_dups(spark, sf_dir):
     from rust_html2text_spark.functions.similarity import embedding_cosine_dups
 
@@ -487,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_kmeans": q_knn_ivf_kmeans,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
         "media_decode": q_media_decode,
@@ -569,6 +576,36 @@ def _duck_cosine_expr(a: str, b: str, rounded: bool = True) -> str:
     )
     expr = f"{dot} / ({norm.format(v=a)} * {norm.format(v=b)})"
     return f"round({expr}, 6)" if rounded else f"({expr})"
+
+
+def _kmeans_cents_cte(iters: int, k: int = 16) -> str:
+    """CTE chain replicating functions/similarity.kmeans_refine: assign by
+    in-order cosine fold, recompute means as exact DECIMAL sums / count."""
+    parts = [
+        f"cent0 AS (SELECT vec_id AS cid, "
+        f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for t in range(iters):
+        cos = _duck_cosine_expr("e.embedding", "c.centroid", rounded=False)
+        parts.append(
+            f"a{t} AS (SELECT e.vec_id, e.embedding, c.cid, "
+            f"row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cid ASC) AS crank "
+            f"FROM embeddings e CROSS JOIN cent{t} c)"
+        )
+        parts.append(
+            f"m{t} AS (SELECT cid, dim, "
+            f"CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS mean "
+            f"FROM (SELECT cid, unnest(embedding) AS val, "
+            f"generate_subscripts(embedding, 1) AS dim "
+            f"FROM a{t} WHERE crank = 1) GROUP BY cid, dim)"
+        )
+        parts.append(
+            f"cent{t + 1} AS (SELECT cid, list(mean ORDER BY dim) AS centroid "
+            f"FROM m{t} GROUP BY cid)"
+        )
+    return ", ".join(parts)
 
 
 def _plane_dot_sql(emb: str, signs: list[float]) -> str:
@@ -875,6 +912,31 @@ def oracle_sql() -> dict[str, str]:
                                 ORDER BY {_duck_cosine_expr("e.embedding", "c.cent_emb", rounded=False)} DESC,
                                          c.cid ASC) AS crank
                      FROM embeddings e CROSS JOIN c),
+                 corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, cid
+                            FROM assign WHERE crank = 1),
+                 q AS (SELECT vec_id AS query_id, embedding AS q_emb, cid
+                       FROM assign WHERE vec_id < 10 AND crank <= 2),
+                 scored AS (
+                     SELECT query_id, neighbor_id,
+                            {_duck_cosine_expr("q_emb", "c_emb")} AS cosine
+                     FROM corpus JOIN q USING (cid)
+                     WHERE neighbor_id != query_id),
+                 ranked AS (
+                     SELECT *, row_number() OVER (
+                         PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                     FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine
+            FROM ranked WHERE rank <= 5
+        """,
+        "knn_ivf_kmeans": f"""
+            WITH {_kmeans_cents_cte(2)},
+                 assign AS (
+                     SELECT e.vec_id, e.embedding, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_duck_cosine_expr("e.embedding", "c.centroid", rounded=False)} DESC,
+                                         c.cid ASC) AS crank
+                     FROM embeddings e CROSS JOIN cent2 c),
                  corpus AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, cid
                             FROM assign WHERE crank = 1),
                  q AS (SELECT vec_id AS query_id, embedding AS q_emb, cid

@@ -151,12 +151,69 @@ def knn_lsh(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame, k: int = 16, iters: int = 2
+) -> DataFrame:
+    """Deterministic Lloyd's refinement for IVF centroids: init = the
+    first k vectors, then `iters` rounds of (assign to nearest-by-cosine
+    centroid, recompute element-wise means).  Means are computed as exact
+    DECIMAL sums divided in double — bit-stable at any parallelism and
+    reproducible in a SQL oracle.  Returns (cid, centroid: array<double>).
+
+    Shuffle shape per iteration: one broadcast nested-loop over k rows for
+    assignment, one (cid, dim) hash aggregation (map-side combined), one
+    small regroup to rebuild arrays — no all-pairs anything.
+    """
+    cents = embeddings.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "centroid"
+        ),
+    )
+    for _ in range(iters):
+        from pyspark.sql.window import Window
+
+        sim = _cosine(F.col("embedding"), F.col("centroid"))
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.col("csim").desc(), F.col("cid").asc()
+        )
+        assign = (
+            embeddings.join(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", sim.alias("csim"))
+            .withColumn("crank", F.row_number().over(wa))
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        dims = assign.select(
+            "cid", F.posexplode(F.col("embedding")).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                    / F.count("*")
+                ).alias("mean")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                    lambda s: s.mean,
+                ).alias("centroid")
+            )
+        )
+        cents = means
+    return cents
+
+
 def knn_ivf(
     embeddings: DataFrame,
     k: int = 5,
     num_queries: int = 10,
     num_centroids: int = 16,
     nprobe: int = 2,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned
     to their nearest centroid's list, queries probe the `nprobe` nearest
@@ -174,9 +231,14 @@ def knn_ivf(
     """
     from pyspark.sql.window import Window
 
-    cents = embeddings.filter(F.col("vec_id") < num_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
-    )
+    if kmeans_iters > 0:
+        cents = kmeans_refine(embeddings, num_centroids, kmeans_iters).select(
+            "cid", F.col("centroid").alias("cent_emb")
+        )
+    else:
+        cents = embeddings.filter(F.col("vec_id") < num_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_emb")
+        )
     sim = _cosine(F.col("embedding"), F.col("cent_emb"))
     wa = Window.partitionBy("vec_id").orderBy(
         F.col("csim").desc(), F.col("cid").asc()
