@@ -217,6 +217,16 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination vs a deterministic benchmark slice (doc_id % 97 == 0
+    plays the benchmark set)."""
+    from rust_html2text_spark.functions.webtext import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_check(docs, benchmark, shingle_size=3, min_overlap=1)
+
+
 def q_gopher_quality(spark, sf_dir):
     from rust_html2text_spark.functions.webtext import gopher_quality
 
@@ -482,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
         "gopher_quality": q_gopher_quality,
+        "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
         "exact_dup_groups": q_exact_dup_groups,
         "prefix_dup_groups": q_prefix_dup_groups,
@@ -757,6 +768,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.clean_text, '') AS clean_text,
                    coalesce(agg.n_lines_kept, 0) AS n_lines_kept
             FROM r LEFT JOIN agg ON r.url = agg.url
+        """,
+        "contamination": f"""
+            WITH bsh AS (SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh
+                         FROM documents WHERE doc_id % 97 = 0),
+                 dsh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh
+                         FROM documents),
+                 ov AS (SELECT doc_id, count(DISTINCT d.sh) AS n
+                        FROM dsh d JOIN bsh b ON d.sh = b.sh GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(ov.n, 0) AS n_overlapping_shingles,
+                   coalesce(ov.n, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
         """,
         "gopher_quality": r"""
             WITH t AS (

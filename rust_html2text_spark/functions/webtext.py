@@ -115,6 +115,50 @@ def stratified_sample(
     return docs.filter(cond)
 
 
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_size: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    `min_overlap` distinct word n-grams with any benchmark text.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus,
+    so it BROADCASTS; the corpus side explodes its shingles map-side and
+    the overlap count is one hash aggregation per doc — the corpus is
+    never shuffled whole.  Returns every doc with its overlap count and a
+    `contaminated` flag.
+    """
+    from rust_html2text_spark.functions.dedup import word_shingles
+
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(shingle_size)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        "doc_id", F.explode(word_shingles(shingle_size)).alias("sh")
+    )
+    overlaps = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_overlapping_shingles"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlaps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlapping_shingles", F.lit(0)).alias(
+                "n_overlapping_shingles"
+            ),
+            (
+                F.coalesce("n_overlapping_shingles", F.lit(0)) >= min_overlap
+            ).alias("contaminated"),
+        )
+    )
+
+
 def gopher_quality(docs: DataFrame) -> DataFrame:
     """Gopher-style per-document quality signals + composite pass flag."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
