@@ -171,6 +171,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals over the extracted text."""
+    from rust_html2text_spark.functions.webtext import doc_repetition
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    rendered = render_pages(load_pages(spark, sf_dir), width=WIDTH).filter(
+        F.col("error").isNull()
+    )
+    return doc_repetition(rendered)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate-line removal over the extracted text."""
     from rust_html2text_spark.functions.webtext import remove_repeated_lines
@@ -486,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "url_dedup": q_url_dedup,
         "stratified_sample": q_stratified_sample,
+        "doc_repetition": q_doc_repetition,
         "line_dedup": q_line_dedup,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -750,6 +763,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1
             ORDER BY n_docs DESC, host ASC
+        """,
+        "doc_repetition": f"""
+            WITH r AS (SELECT url, text FROM ({_RENDERED}) WHERE error IS NULL),
+                 l AS (SELECT url, u.line
+                       FROM r, (SELECT unnest(str_split(text, chr(10))) AS line) u
+                       WHERE u.line <> ''),
+                 ls AS (SELECT url, count(*) AS n_lines,
+                               count(DISTINCT line) AS n_distinct_lines
+                        FROM l GROUP BY url),
+                 toks AS (SELECT url,
+                                 regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+                          FROM r),
+                 bg AS (SELECT url, unnest(list_transform(
+                            range(1, greatest(len(t) - 1, 1) + 1),
+                            i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+                        FROM toks),
+                 bc AS (SELECT url, bg, count(*) AS c FROM bg GROUP BY url, bg),
+                 bs AS (SELECT url, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+                        FROM bc GROUP BY url)
+            SELECT ls.url, ls.n_lines,
+                   round(1.0 - ls.n_distinct_lines * 1.0 / ls.n_lines, 6) AS dup_line_frac,
+                   round(bs.top_bigram_count * 1.0 / bs.n_bigrams, 6) AS top_bigram_frac
+            FROM ls JOIN bs ON ls.url = bs.url
         """,
         "line_dedup": f"""
             WITH r AS (SELECT url, text FROM ({_RENDERED})),

@@ -191,6 +191,42 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_repetition(
+    rendered: DataFrame, key_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style) over extracted
+    text: fraction of non-empty lines that are duplicates, and the share
+    of all word bigrams taken by the single most frequent bigram.  Two
+    hash aggregations keyed by document — no cross-document shuffle of
+    text."""
+    lines = rendered.select(
+        key_col, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(F.col("line") != "")
+    line_stats = lines.groupBy(key_col).agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("line").alias("n_distinct_lines"),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_words = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(1), F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    bg = rendered.select(key_col, F.explode(bigrams).alias("bg"))
+    bg_counts = bg.groupBy(key_col, "bg").agg(F.count("*").alias("c"))
+    bg_stats = bg_counts.groupBy(key_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count")
+    )
+    return line_stats.join(bg_stats, key_col).select(
+        key_col,
+        "n_lines",
+        F.round(1.0 - F.col("n_distinct_lines") / F.col("n_lines"), 6).alias(
+            "dup_line_frac"
+        ),
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails then phone numbers; returns counts and the scrubbed
     text (hash the text for cheap cross-engine comparison)."""
