@@ -706,8 +706,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "render_error_counts": f"""
             SELECT count(*) AS n_docs,
-                   sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS n_errors,
-                   sum(text_bytes) AS total_text_bytes
+                   CAST(sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_errors,
+                   CAST(sum(text_bytes) AS BIGINT) AS total_text_bytes
             FROM ({_RENDERED})
         """,
         "training_pipeline": f"""
@@ -1142,8 +1142,8 @@ def oracle_sql() -> dict[str, str]:
                        sum(CAST(value AS DECIMAL(18,6))) AS session_value
                 FROM s GROUP BY user_id, session_no
             )
-            SELECT user_id, max(session_no) AS n_sessions,
-                   sum(n_events) AS n_events,
+            SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
                    CAST(max(session_value) AS DOUBLE) AS max_session_value
             FROM agg GROUP BY user_id
             ORDER BY user_id

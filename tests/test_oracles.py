@@ -60,3 +60,25 @@ def test_render_goldens_parquet_wellformed(con):
         "        || '|' || d.lang || '|' || d.text))"
     ).fetchone()
     assert missing == 0
+
+
+def test_oracle_output_types_have_spark_equivalents(con):
+    """DuckDB widens integer sum() to HUGEINT (INT128), which has no Spark
+    equivalent and breaks the driver's type-sensitive value hash (this bit
+    rounds 1 AND 2: user_sessions, render_error_counts).  Guard: no final
+    oracle column may be HUGEINT/UHUGEINT/DECIMAL — wrap the aggregate in
+    CAST(... AS BIGINT) / CAST(... AS DOUBLE) in the oracle SQL instead."""
+    import __spark_entry__ as m
+
+    banned_prefixes = ("HUGEINT", "UHUGEINT", "DECIMAL", "UINTEGER", "UBIGINT")
+    offenders = []
+    for name, sql in m.oracle_sql().items():
+        rel = con.sql(sql)
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            if t.startswith(banned_prefixes):
+                offenders.append((name, col, t))
+    assert not offenders, (
+        "oracle columns with Spark-incompatible DuckDB types "
+        f"(add CAST in the oracle SQL): {offenders}"
+    )
