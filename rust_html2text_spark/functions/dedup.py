@@ -301,15 +301,26 @@ def simhash_near_dups(
     pairs whose every shared band is hot, in exchange for bounded work
     (the capped buckets are dominated by templated near-identical content
     that exact dedup should have removed first)."""
-    s = simhash(docs).filter(F.col("simhash").isNotNull())
+    # Drop NULL-text docs BEFORE the UDF (the predicate reaches the parquet
+    # scan), and wrap the UDF in coalesce(..., 0) — a no-op on non-null text
+    # — so the simhash column is provably non-nullable.  Any nullable UDF
+    # output here makes Catalyst infer isnotnull() from the join/hamming
+    # predicates and push it below the projection, splitting the plan into
+    # TWO ArrowEvalPython nodes per side (the UDF runs twice per row).
+    s = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.coalesce(simhash_udf(F.col("text")), F.lit(0)).alias("simhash"),
+    )
     widths = simhash_band_widths(max_hamming)
-    bands = []
+    # One-pass banding: explode an array of (band, band_key) structs so the
+    # simhash UDF is evaluated once per join side instead of once per band
+    # per side (the union-per-band form put 2*B ArrowEvalPython nodes in the
+    # physical plan — an ~18x compute bill on the UDF stage at B=9).
+    band_structs = []
     offset = 0
     for b, w in enumerate(widths):
-        bands.append(
-            s.select(
-                "doc_id",
-                "simhash",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.shiftrightunsigned(F.col("simhash"), offset)
                 .bitwiseAND(F.lit((1 << w) - 1))
@@ -317,9 +328,9 @@ def simhash_near_dups(
             )
         )
         offset += w
-    all_bands = bands[0]
-    for other in bands[1:]:
-        all_bands = all_bands.unionByName(other)
+    all_bands = s.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", "bk.band", "bk.band_key")
     if max_bucket is not None:
         from pyspark.sql.window import Window
 

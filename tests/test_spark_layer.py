@@ -490,3 +490,18 @@ def test_gopher_quality_flags(spark):
     assert out[1].passes_gopher
     assert not out[2].passes_gopher  # dup_bigram_frac ~ 1
     assert not out[3].passes_gopher  # symbol soup / too short
+
+
+def test_simhash_near_dups_single_pass_plan(spark):
+    """Plan-shape pin: the banding must evaluate the simhash UDF at most
+    once per join side.  The round-2 union-per-band form re-evaluated it
+    per band per side (36 ArrowEvalPython nodes at max_hamming=8); a
+    nullable UDF output also splits each side in two via an inferred
+    isnotnull pushdown.  Regression = this count creeping above 2."""
+    from rust_html2text_spark.functions.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = simhash_near_dups(docs.select("doc_id", "text"), max_hamming=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("ArrowEvalPython")
+    assert 1 <= n <= 2, f"expected <=2 ArrowEvalPython nodes, got {n}"
