@@ -561,9 +561,13 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
                         if not nm:
                             if rawdata[i : i + 3] == "</>":
                                 k = i + 3
-                            else:  # bogus comment
+                            else:  # bogus comment (parse_bogus_comment)
                                 pos = find(">", i + 2)
-                                k = -1 if pos == -1 else pos + 1
+                                if pos == -1:
+                                    k = -1
+                                else:
+                                    builder.handle_comment(rawdata[i + 2 : pos])
+                                    k = pos + 1
                         else:
                             tagname = nm.group(1).lower()
                             gt2 = find(">", nm.end())
@@ -601,9 +605,13 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
             elif rawdata[i : i + 9].lower() == "<!doctype":
                 gt = find(">", i + 9)
                 k = -1 if gt == -1 else gt + 1
-            else:  # bogus comment
+            else:  # bogus comment (parse_bogus_comment)
                 pos = find(">", i + 2)
-                k = -1 if pos == -1 else pos + 1
+                if pos == -1:
+                    k = -1
+                else:
+                    builder.handle_comment(rawdata[i + 2 : pos])
+                    k = pos + 1
         elif i + 1 < n:
             handle_data("<")
             k = i + 1
