@@ -45,9 +45,22 @@ RENDER_SCHEMA = StructType(
 )
 
 
-def _render_batch_fn(width: int, config_kwargs: dict):
+def _render_batch_fn(
+    width: int,
+    config_kwargs: dict,
+    coloured: bool = False,
+    use_css_colours: bool = True,
+    no_default_colours: bool = False,
+    syntax_highlight: bool = False,
+):
     """Build the mapInPandas function; engine imports happen on the executor
-    so only rust_html2text_spark needs to ship via --py-files."""
+    so only rust_html2text_spark needs to ship via --py-files.
+
+    `coloured` renders through the ANSI colour map (reference CLI
+    `--colour`, main.rs:161-180); `syntax_highlight` registers the default
+    rs/html highlighters (`--syntax`, main.rs:143-148).  Both are plain
+    booleans rather than callables so the closure stays trivially
+    picklable — the actual functions are imported executor-side."""
 
     def render_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
@@ -74,6 +87,29 @@ def _render_batch_fn(width: int, config_kwargs: dict):
             config = Config(**config_kwargs)
         else:
             config = plain_config()
+        if syntax_highlight:
+            from rust_html2text_spark.engine.highlight import DEFAULT_HIGHLIGHTERS
+
+            config.syntax_highlighters = dict(DEFAULT_HIGHLIGHTERS)
+        if coloured:
+            from functools import partial
+
+            from rust_html2text_spark.engine.api import html_to_coloured
+            from rust_html2text_spark.engine.colourmap import default_colour_map
+
+            cmap = partial(
+                default_colour_map,
+                use_css_colours=use_css_colours,
+                no_default_colours=no_default_colours,
+            )
+
+            def render_one(h, w):
+                return html_to_coloured(h, w, cmap, config)
+
+        else:
+
+            def render_one(h, w):
+                return html_to_text(h, w, config)
 
         for batch in batches:
             urls = batch["url"]
@@ -96,7 +132,7 @@ def _render_batch_fn(width: int, config_kwargs: dict):
                     html = html.encode("utf-8")
                 html_bytes.append(len(html))
                 try:
-                    text = html_to_text(html, row_width, config)
+                    text = render_one(html, row_width)
                     texts.append(text)
                     errors.append(None)
                     text_bytes.append(len(text.encode("utf-8")))
@@ -129,6 +165,7 @@ def render_pages(
     salt: int = 0,
     outlier_bytes: int | None = 1 << 20,
     repartition: str = "salted",
+    render_kwargs: dict | None = None,
 ) -> DataFrame:
     """Render a pages DataFrame (url, html, ...) to (url, text, error, sizes).
 
@@ -163,7 +200,7 @@ def render_pages(
     if repartition == "salted":
         normal = normal.repartition(n, key)
 
-    fn = _render_batch_fn(width, config_kwargs or {})
+    fn = _render_batch_fn(width, config_kwargs or {}, **(render_kwargs or {}))
     out = normal.mapInPandas(fn, RENDER_SCHEMA)
     if oversized is not None:
         # one oversized doc per task: bound worst-case task memory/time

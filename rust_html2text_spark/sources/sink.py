@@ -94,6 +94,7 @@ def run_with_resume(
     width: int = 80,
     num_buckets: int = 16,
     config_kwargs: dict | None = None,
+    render_kwargs: dict | None = None,
 ) -> dict:
     """Render all pending buckets; returns summary lineage."""
     from rust_html2text_spark.operators.render import render_pages
@@ -109,7 +110,12 @@ def run_with_resume(
         if b in done:
             continue
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-        rendered = render_pages(part, width=width, config_kwargs=config_kwargs)
+        rendered = render_pages(
+            part,
+            width=width,
+            config_kwargs=config_kwargs,
+            render_kwargs=render_kwargs,
+        )
         bucket_path = os.path.join(out_path, f"bucket={b}")
         rendered.write.mode("overwrite").parquet(bucket_path)
 

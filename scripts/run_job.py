@@ -1,13 +1,20 @@
 """spark-submit batch driver — the CLI of the Spark graft.
 
 Mirrors the reference CLI surface (html2text-cli/src/main.rs:249-391):
-width/decorator/wrap flags become job config; `--show-render` dumps a
-sample row's render pipeline outputs instead of the reference's IR dumps.
+every reference flag maps to job config — width/wrap-width/pad-width,
+decorator selection (--literal, --colour), the CSS family (--css,
+--ignore-css-colour, --only-css, --agent-css), link footnotes, and
+--syntax highlighting.  `--show-render`/`--show-dom`/`--show-css` dump a
+sample row's IR like the reference's debug flags.
 
 Usage:
   spark-submit --py-files rust_html2text_spark.zip scripts/run_job.py \
-      --input pages.parquet --output out/ [--width 80] [--decorator plain]
-      [--buckets 16] [--salt 0] [--explain] [--show-render URL]
+      --input pages.parquet --output out/ [-w 80] [-W 40] [--pad-width]
+      [--decorator plain|trivial|rich] [-L] [--colour] [--css]
+      [--ignore-css-colour] [--only-css] [--agent-css CSS_OR_FILE]
+      [--syntax] [--link-footnotes | --no-link-footnotes]
+      [--buckets 16] [--salt 0] [--explain] [--show-text URL]
+      [--show-render URL] [--show-dom URL] [--show-css URL]
 """
 
 from __future__ import annotations
@@ -19,13 +26,66 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet/iceberg path")
     ap.add_argument("--output", required=True, help="output table path")
-    ap.add_argument("--width", type=int, default=80)
+    # main.rs:286-291 (-w/--width), 292-297 (-W/--wrap-width)
+    ap.add_argument("-w", "--width", type=int, default=80)
+    ap.add_argument(
+        "-W",
+        "--wrap-width",
+        type=int,
+        default=None,
+        help="Maximum text wrap width (default same as width)",
+    )
     ap.add_argument("--decorator", default="plain", choices=["plain", "trivial", "rich"])
+    # main.rs:304-309: -L/--literal = trivial decorator
+    ap.add_argument(
+        "-L",
+        "--literal",
+        action="store_true",
+        help="Output only literal text (no decorations)",
+    )
+    # main.rs:310-315
+    ap.add_argument(
+        "--pad-width", action="store_true", help="Pad blocks to their full width"
+    )
+    # main.rs:316-326 (both flags exist; both at once is an error, main.rs:150-157)
+    ap.add_argument("--link-footnotes", action="store_true")
     ap.add_argument("--no-link-footnotes", action="store_true")
+    # main.rs:327-333
+    ap.add_argument(
+        "--colour", action="store_true", help="Use ANSI terminal colours"
+    )
+    # main.rs:334-349: the CSS family
+    ap.add_argument("--css", action="store_true", help="Enable document CSS")
+    ap.add_argument(
+        "--ignore-css-colour",
+        action="store_true",
+        help="With --css, ignore CSS colour information (still hides "
+        "elements with e.g. display: none)",
+    )
+    ap.add_argument(
+        "--only-css", action="store_true", help="Don't use default non-CSS colours"
+    )
+    # main.rs:368-373: a CSS string in the reference; also accepts a file
+    # path here (the Spark job's config travels to executors, a path is the
+    # natural CLI unit)
+    ap.add_argument(
+        "--agent-css",
+        metavar="CSS_OR_FILE",
+        action="append",
+        default=[],
+        help="Add CSS rules to the agent stylesheet (literal CSS, or a "
+        "path to a .css file)",
+    )
+    # main.rs:374-379 (css_ext feature)
+    ap.add_argument(
+        "--syntax",
+        action="store_true",
+        help="Enable syntax highlighting of <pre> blocks",
+    )
     ap.add_argument("--no-borders", action="store_true")
     ap.add_argument("--raw", action="store_true")
     ap.add_argument("--buckets", type=int, default=16)
@@ -33,33 +93,82 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--show-text", metavar="URL", help="print one rendered doc")
-    ap.add_argument("--show-render", metavar="URL", help="print one doc's render tree (IR dump)")
+    ap.add_argument(
+        "--show-render", metavar="URL", help="print one doc's render tree (IR dump)"
+    )
     ap.add_argument("--show-dom", metavar="URL", help="print one doc's DOM (IR dump)")
     ap.add_argument(
         "--show-css",
         metavar="URL",
         help="print one doc's parsed stylesheet (agent/user/author rules)",
     )
-    args = ap.parse_args()
+    return ap
 
-    from rust_html2text_spark.operators.render import render_pages
-    from rust_html2text_spark.plans.session import get_spark
-    from rust_html2text_spark.sources.sink import run_with_resume
 
-    config_kwargs = {}
-    if args.decorator != "plain":
-        config_kwargs = {"decorator": args.decorator}
-    else:
-        config_kwargs = {
-            "decorator": "plain",
-            "do_decorate": True,
-            "link_footnotes": not args.no_link_footnotes,
-        }
+def config_from_args(args) -> tuple[dict, dict]:
+    """Map CLI flags to (Config kwargs, render_pages render_kwargs),
+    following update_config/translate (main.rs:129-229)."""
+    if args.link_footnotes and args.no_link_footnotes:
+        print(
+            "Error: can't specify both --link-footnotes and --no-link-footnotes",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    decorator = args.decorator
+    if args.literal:
+        decorator = "trivial"  # main.rs:217-221
+    if args.colour:
+        decorator = "rich"  # main.rs:163-180: config::rich()
+
+    config_kwargs: dict = {"decorator": decorator}
+    if decorator == "plain" and not args.literal:
+        # config::plain() (lib.rs:3308-3313): agent decoration rules on
+        config_kwargs["do_decorate"] = True
+        config_kwargs["link_footnotes"] = True
+    if args.link_footnotes:
+        config_kwargs["link_footnotes"] = True
+    if args.no_link_footnotes:
+        config_kwargs["link_footnotes"] = False
+    if args.wrap_width is not None:
+        config_kwargs["max_wrap_width"] = args.wrap_width
+    if args.pad_width:
+        config_kwargs["pad_block_width"] = True
+    if args.css:
+        config_kwargs["use_doc_css"] = True
+    if args.agent_css:
+        rules = []
+        for item in args.agent_css:
+            if os.path.isfile(item):
+                with open(item) as fh:
+                    rules.append(fh.read())
+            else:
+                rules.append(item)
+        config_kwargs["add_agent_css"] = rules
     if args.no_borders:
         config_kwargs["draw_borders"] = False
     if args.raw:
         config_kwargs["raw"] = True
         config_kwargs["draw_borders"] = False
+
+    render_kwargs: dict = {}
+    if args.syntax:
+        render_kwargs["syntax_highlight"] = True
+    if args.colour:
+        render_kwargs["coloured"] = True
+        render_kwargs["use_css_colours"] = not args.ignore_css_colour
+        render_kwargs["no_default_colours"] = args.only_css
+    return config_kwargs, render_kwargs
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.plans.session import get_spark
+    from rust_html2text_spark.sources.sink import run_with_resume
+
+    config_kwargs, render_kwargs = config_from_args(args)
 
     spark = get_spark(app_name="html2text-job", master=args.master)
     pages = spark.read.parquet(args.input)
@@ -71,9 +180,17 @@ def main() -> None:
             print("url not found", file=sys.stderr)
             sys.exit(1)
         html = bytes(row[0]["html"])
-        from rust_html2text_spark.engine.api import Config, html_to_text
+        from rust_html2text_spark.engine.api import (
+            Config,
+            html_to_coloured,
+            html_to_text,
+        )
 
         config = Config(**config_kwargs)
+        if render_kwargs.get("syntax_highlight"):
+            from rust_html2text_spark.engine.highlight import DEFAULT_HIGHLIGHTERS
+
+            config.syntax_highlighters = dict(DEFAULT_HIGHLIGHTERS)
         if args.show_dom:
             from rust_html2text_spark.engine.debug import dump_dom
             from rust_html2text_spark.engine.htmlparse import parse_html
@@ -88,13 +205,28 @@ def main() -> None:
             from rust_html2text_spark.engine.debug import dump_parsed_style
 
             print(dump_parsed_style(html, config))
+        elif render_kwargs.get("coloured"):
+            from functools import partial
+
+            from rust_html2text_spark.engine.colourmap import default_colour_map
+
+            cmap = partial(
+                default_colour_map,
+                use_css_colours=render_kwargs["use_css_colours"],
+                no_default_colours=render_kwargs["no_default_colours"],
+            )
+            print(html_to_coloured(html, args.width, cmap, config))
         else:
             print(html_to_text(html, args.width, config))
         return
 
     if args.explain:
         render_pages(
-            pages, width=args.width, config_kwargs=config_kwargs, salt=args.salt
+            pages,
+            width=args.width,
+            config_kwargs=config_kwargs,
+            salt=args.salt,
+            render_kwargs=render_kwargs,
         ).explain("formatted")
         return
 
@@ -104,6 +236,7 @@ def main() -> None:
         width=args.width,
         num_buckets=args.buckets,
         config_kwargs=config_kwargs,
+        render_kwargs=render_kwargs,
     )
     print(summary)
     spark.stop()
