@@ -32,7 +32,9 @@ XHTML_NS = "http://www.w3.org/1999/xhtml"
 
 _NAME = r"[^\s/>=]+"
 _ATTR_RE = re.compile(
-    rf"({_NAME})\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?\s*", re.S
+    # unquoted values must not swallow '/': in '<a b=c/>' the trailing '/'
+    # is the self-closing marker (xml5ever recovery), not value content
+    rf"({_NAME})\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s/>]*))?\s*", re.S
 )
 _TAG_OPEN_RE = re.compile(rf"<({_NAME})", re.S)
 

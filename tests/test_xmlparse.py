@@ -145,3 +145,18 @@ def test_xmlparse_never_crashes_and_tree_is_sound():
                 stack.append((c, depth + 1))
 
     run()
+
+
+def test_unquoted_attr_value_trailing_slash_self_closes():
+    """'<a b=c/>' — the '/' is the self-closing marker, not part of the
+    unquoted value (xml5ever recovery): following text must be a SIBLING
+    of <a>, not its child."""
+    from rust_html2text_spark.engine.xmlparse import parse_xml
+
+    dom = parse_xml("<r><a b=c/>tail</r>")
+    r = dom.children[0]
+    assert [c.kind for c in r.children] == ["element", "text"]
+    a = r.children[0]
+    assert a.attrs.get("b") == "c"
+    assert not a.children
+    assert r.children[1].text == "tail"
