@@ -90,6 +90,30 @@ def main() -> None:
         timings["render_dedup"] = round(time.monotonic() - t0, 3)
         assert dd["n"] == n_docs
 
+        # duplicated-corpus lane: groups of 10 copies share bytes (the
+        # web-crawl mirror regime render_pages_deduped exists for) — dedup
+        # renders each distinct payload once and must beat the flat render
+        # on the same input; both best-of-2
+        dup_path = os.path.join(tmp, "pages_dup10.parquet")
+        expand_pages(
+            load_pages(spark, sf_dir, skew_fraction=0.05, oversize_every=101),
+            mult,
+            dup_factor=10,
+        ).repartition(64).write.mode("overwrite").parquet(dup_path)
+        pages_dup = spark.read.parquet(dup_path)
+        for key, op in (
+            ("render_flat_dup10", render_pages),
+            ("render_dedup_dup10", render_pages_deduped),
+        ):
+            best = None
+            for _pass in range(2):
+                t0 = time.monotonic()
+                nd = op(pages_dup, width=80).agg(F.count("*").alias("n")).collect()[0]
+                sec = time.monotonic() - t0
+                best = sec if best is None else min(best, sec)
+                assert nd["n"] == n_docs
+            timings[key] = round(best, 3)
+
         # secondary headline queries (JVM-side pipeline ops), best of 2
         for name in (
             "token_count",

@@ -132,14 +132,20 @@ def load_pages(
     )
 
 
-def expand_pages(pages: DataFrame, mult: int) -> DataFrame:
-    """Multiply a pages table `mult`× with distinct urls AND distinct html
-    bytes per copy (a trailing comment), so dedup-aware paths cannot
-    shortcut.  Used by bench.py / scripts/scaling_bench.py to build a
-    steady-state corpus where per-core compute dominates fixed job-setup
-    overhead — the regime a 1000-executor run lives in."""
+def expand_pages(pages: DataFrame, mult: int, dup_factor: int = 1) -> DataFrame:
+    """Multiply a pages table `mult`× with distinct urls per copy.  Used by
+    bench.py / scripts/scaling_bench.py to build a steady-state corpus
+    where per-core compute dominates fixed job-setup overhead — the regime
+    a 1000-executor run lives in.
+
+    `dup_factor=1` (default) makes the html bytes distinct per copy too (a
+    trailing comment), so dedup-aware paths cannot shortcut.  `dup_factor=k`
+    instead gives each group of k consecutive copies IDENTICAL html under
+    distinct urls — the web-crawl duplication regime render_pages_deduped
+    exists for (mirrors, http/https twins)."""
     if mult <= 1:
         return pages
+    stamp = ((F.col("copy") - 1) / F.lit(max(dup_factor, 1))).cast("long")
     return pages.withColumn(
         "copy", F.explode(F.sequence(F.lit(1), F.lit(mult)))
     ).select(
@@ -148,7 +154,7 @@ def expand_pages(pages: DataFrame, mult: int) -> DataFrame:
         F.concat(
             "html",
             F.encode(
-                F.concat(F.lit("<!--"), F.col("copy").cast("string"), F.lit("-->")),
+                F.concat(F.lit("<!--"), stamp.cast("string"), F.lit("-->")),
                 "UTF-8",
             ),
         ).alias("html"),
