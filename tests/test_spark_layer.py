@@ -505,3 +505,39 @@ def test_simhash_near_dups_single_pass_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("ArrowEvalPython")
     assert 1 <= n <= 2, f"expected <=2 ArrowEvalPython nodes, got {n}"
+
+
+def test_embedding_dups_recall_floor(spark):
+    """Formalizes the recall claim in embedding_cosine_dups's docstring
+    (functions/similarity.py): at threshold 0.5 the 12-table 4-bit LSH path
+    must recall >=0.9 of the exact all-pairs answer (formula predicts 0.93
+    at cosine exactly 0.5, higher above it).  Uses sf0.1 (2000 vectors, 14
+    exact pairs — sf0.001 has none above 0.5) with a numpy exact oracle so
+    only the operator under test runs in Spark."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rust_html2text_spark.functions.similarity import embedding_cosine_dups
+
+    threshold = 0.5
+    path = "/root/testdata/sf0.1/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    E = np.vstack(tbl["embedding"].to_numpy())
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = En @ En.T
+    ia, ib = np.where(np.triu(sims > threshold, k=1))
+    exact = {
+        (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
+        for x, y in zip(ia, ib)
+    }
+    assert exact, "test corpus has no exact pairs above the threshold"
+
+    emb = spark.read.parquet(path)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_cosine_dups(emb, threshold=threshold).collect()
+    }
+    assert got <= exact
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(exact)})"
