@@ -6,8 +6,15 @@ queries()        — one entry per implemented operator (SURVEY.md §2 plus the
 oracle_sql()     — DuckDB-equivalent SQL per query where SQL-expressible;
                    the render queries are genuinely non-SQL-expressible
                    (document-at-a-time layout engine) and get the rows-only
-                   check; their real correctness gate is the 224-fixture
-                   golden suite (`python -m pytest tests/ -x -q`).
+                   check; their real correctness gate is the golden suite
+                   (227 extracted reference fixtures + hand-coded cases,
+                   `python -m pytest tests/ -x -q`).
+
+Oracle-authoring note: DuckDB widens integer `sum()`/window-sums to
+HUGEINT (INT128), which has no Spark equivalent and fails the driver's
+type-sensitive value hash even when values match — wrap integer
+aggregates in CAST(... AS BIGINT).  tests/test_oracles.py contract-guards
+every oracle's output types against this.
 """
 
 from __future__ import annotations
