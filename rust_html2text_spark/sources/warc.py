@@ -1,0 +1,277 @@
+"""Distributed WARC source — Common Crawl's native archive format.
+
+The north-rule input is "Common-Crawl-style web pages"; in production those
+arrive as WARC files (ISO 28500), ~1 GB apiece, gzip-compressed with one
+gzip member per record (the Common Crawl convention).  This module reads
+them into the pipeline's pages schema
+(url: string, warc_ts: timestamp, html: binary, text: string, lang: string)
+with pure-stdlib parsing.
+
+Scale design (100 TB = ~100k WARC files / 1000 executors):
+- **Parallelism by file**: one task per WARC file (a DataFrame of paths,
+  round-robin repartitioned).  gzip is not block-splittable, but at ~1 GB
+  a file IS the right task granularity; 100k tasks schedule fine.
+- **Bounded memory**: records are streamed — chunked reads through a
+  zlib decompressor into an incremental record parser, batches flushed to
+  Arrow every `records_per_batch` records or `batch_bytes` of html.  Peak
+  memory is one batch + one record, never the decompressed file.
+- **Robustness**: non-response records (warcinfo/request/metadata) are
+  skipped; a malformed record aborts only the rest of its file (crawl
+  archives do truncate), never the task.
+
+The writer emits the same record-per-gzip-member layout (deterministic:
+fixed mtime, md5-derived record ids) and exists so tests and local runs
+can round-trip pages → WARC → pages byte-identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from datetime import datetime
+from typing import Iterable, Iterator
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_CHUNK = 1 << 20  # 1 MiB compressed read size
+
+
+# -- record-level parsing ----------------------------------------------------
+
+
+def _parse_warc_headers(raw: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    for line in raw.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii", "replace").lower()] = v.strip().decode(
+                "utf-8", "replace"
+            )
+    return headers
+
+
+def _split_http_payload(block: bytes) -> bytes:
+    """An application/http;msgtype=response block is status-line + headers +
+    CRLFCRLF + payload; return the payload (the html bytes)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return block  # not http-framed (e.g. a conversion record): raw block
+    return block[sep + 4 :]
+
+
+def _parse_warc_date(value: str) -> datetime | None:
+    # WARC-Date is W3C ISO-8601 Zulu: 2026-01-01T00:00:05Z
+    try:
+        return datetime.fromisoformat(value.replace("Z", "+00:00")).replace(
+            tzinfo=None
+        )
+    except ValueError:
+        return None
+
+
+def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
+    """Incrementally parse a decompressed WARC byte stream into
+    (headers, block) records.  Works on any chunking of the stream; memory
+    is bounded by one record."""
+    buf = bytearray()
+    pos = 0
+    chunks = iter(chunks)
+    eof = False
+    while True:
+        # find end of the header section
+        end = buf.find(b"\r\n\r\n", pos)
+        while end < 0 and not eof:
+            nxt = next(chunks, None)
+            if nxt is None:
+                eof = True
+            else:
+                # only rescan the tail (the marker may straddle chunks)
+                scan_from = max(pos, len(buf) - 3)
+                buf += nxt
+                end = buf.find(b"\r\n\r\n", scan_from)
+        if end < 0:
+            return  # trailing garbage / truncation
+        header_raw = bytes(buf[pos:end])
+        version_at = header_raw.find(b"WARC/")
+        if version_at < 0:
+            return  # not a WARC header: stop (truncated/corrupt archive)
+        headers = _parse_warc_headers(header_raw[version_at:])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = end + 4
+        need = body_start + length + 4  # block + closing CRLFCRLF
+        while len(buf) < need and not eof:
+            nxt = next(chunks, None)
+            if nxt is None:
+                eof = True
+            else:
+                buf += nxt
+        if len(buf) < body_start + length:
+            return  # truncated final record
+        block = bytes(buf[body_start : body_start + length])
+        yield headers, block
+        pos = min(body_start + length + 4, len(buf))
+        # drop consumed bytes so memory stays O(record), not O(file)
+        if pos > (1 << 22):
+            del buf[:pos]
+            pos = 0
+
+
+def _file_chunks(path: str) -> Iterator[bytes]:
+    """Yield decompressed chunks of a .warc or .warc.gz file.  Multi-member
+    gzip (the Common Crawl record-per-member convention) is handled by
+    chaining decompressors on `unused_data`."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+        if head != _GZIP_MAGIC:
+            yield head
+            while True:
+                chunk = fh.read(_CHUNK)
+                if not chunk:
+                    return
+                yield chunk
+            return
+        d = zlib.decompressobj(wbits=31)
+        pending = head
+        while True:
+            chunk = fh.read(_CHUNK)
+            data = pending + chunk
+            pending = b""
+            if not data:
+                return
+            while data:
+                out = d.decompress(data)
+                if out:
+                    yield out
+                if d.eof:
+                    data = d.unused_data
+                    d = zlib.decompressobj(wbits=31)
+                else:
+                    data = b""
+            if not chunk:
+                return
+
+
+def iter_warc_file(
+    path: str, include_types: tuple[str, ...] = ("response",)
+) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """Yield (url, warc_ts, html_bytes) for each matching record."""
+    for headers, block in iter_warc_records(_file_chunks(path)):
+        if headers.get("warc-type") not in include_types:
+            continue
+        url = headers.get("warc-target-uri")
+        if url is None:
+            continue
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        yield url, ts, _split_http_payload(block)
+
+
+# -- the Spark source --------------------------------------------------------
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_warc_pages(
+    spark,
+    paths,
+    include_types: tuple[str, ...] = ("response",),
+    records_per_batch: int = 256,
+    batch_bytes: int = 32 << 20,
+):
+    """WARC file(s) → pages DataFrame (north-rule schema; text/lang NULL —
+    they are downstream products).  `paths` is a glob string or a list of
+    file paths; one streaming task per file."""
+    if isinstance(paths, str):
+        import glob as globmod
+
+        paths = sorted(globmod.glob(paths))
+    paths = [str(p) for p in paths]
+    if not paths:
+        raise ValueError("read_warc_pages: no input files")
+
+    n = len(paths)
+    include = tuple(include_types)
+    rpb = int(records_per_batch)
+    bb = int(batch_bytes)
+
+    def read_files(batches):
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        import pandas as pd
+
+        from rust_html2text_spark.sources.warc import iter_warc_file
+
+        def flush(rows):
+            return pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows: list[tuple] = []
+                size = 0
+                try:
+                    for url, ts, html in iter_warc_file(path, include):
+                        rows.append((url, ts, html, None, None))
+                        size += len(html)
+                        if len(rows) >= rpb or size >= bb:
+                            yield flush(rows)
+                            rows, size = [], 0
+                except (OSError, zlib.error):
+                    # corrupt/truncated archive: keep the records parsed so
+                    # far, lose only the rest of this file — never the task
+                    pass
+                if rows:
+                    yield flush(rows)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    # round-robin: exactly one file per task (gzip is unsplittable; the
+    # file is the unit of parallelism, as in any 100k-file crawl read)
+    return files.repartition(n).mapInPandas(read_files, PAGES_SCHEMA)
+
+
+# -- the writer (tests / local round-trips) ----------------------------------
+
+
+def write_warc_file(
+    path: str,
+    records: Iterable[tuple[str, datetime | None, bytes]],
+    gzip_members: bool = True,
+) -> int:
+    """Write (url, warc_ts, html) records as a WARC file, one gzip member
+    per record (Common Crawl layout).  Deterministic output: record ids
+    derive from md5(url), gzip mtime pinned to 0.  Returns record count."""
+    import gzip as gzipmod
+
+    n = 0
+    with open(path, "wb") as fh:
+        for url, ts, html in records:
+            date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+            rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=UTF-8\r\n"
+                b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+            )
+            header = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: application/http;msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode("utf-8")
+            raw = header + http + b"\r\n\r\n"
+            fh.write(gzipmod.compress(raw, mtime=0) if gzip_members else raw)
+            n += 1
+    return n
