@@ -169,6 +169,55 @@ def html_to_text(html: bytes | str, width: int, config: Config | None = None) ->
     return _render(html, width, config).into_string()
 
 
+def parse(html: bytes | str, config: Config | None = None):
+    """Config::parse_html (lib.rs:3011-3034): parse once, render many.
+
+    Returns the DOM; pass it to `dom_to_tree` + `render_to_string` /
+    `render_to_lines` to render at several widths or with several
+    decorators without re-parsing (the reference's RenderTree is consumed
+    by rendering, so per-render lowering is the reference contract too)."""
+    if config is None:
+        config = plain_config()
+    return parse_html(html, xml_mode=config.xml)
+
+
+def dom_to_tree(dom, config: Config | None = None):
+    """Config::dom_to_render_tree (lib.rs:3036-3045)."""
+    if config is None:
+        config = plain_config()
+    tree = dom_to_render_tree(dom, _HtmlContext(config))
+    if tree is None:
+        raise Fail("no render tree")
+    return tree
+
+
+def _render_tree(tree, width: int, config: Config) -> SubRenderer:
+    if width == 0:
+        raise TooNarrow()
+    decorator = config.make_decorator()
+    builder = SubRenderer(width, config.render_options(), decorator)
+    return render_tree_to_string(
+        _HtmlContext(config), builder, decorator.make_subblock_decorator(), tree
+    )
+
+
+def render_to_string(tree, width: int, config: Config | None = None) -> str:
+    """Config::render_to_string (lib.rs:3047-3057).  Like the reference
+    (which takes the RenderTree by value), the tree is consumed — build a
+    fresh one per render via `dom_to_tree`."""
+    if config is None:
+        config = plain_config()
+    return _render_tree(tree, width, config).into_string()
+
+
+def render_to_lines(tree, width: int, config: Config | None = None):
+    """Config::render_to_lines (lib.rs:3059-3075)."""
+    if config is None:
+        config = rich_config()
+    renderer = _render_tree(tree, width, config)
+    return [line.into_tagged_line() for line in renderer.into_lines()]
+
+
 def html_to_lines(html: bytes | str, width: int, config: Config | None = None):
     """lines_from_read (lib.rs:3092-3101): list of TaggedLine."""
     if config is None:
