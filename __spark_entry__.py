@@ -325,6 +325,38 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
 
 
+def q_bloom_new_urls(spark, sf_dir):
+    """Incremental cross-snapshot dedup: Bloom pre-filter + exact confirm
+    join (functions/dedup.new_keys_vs_snapshot).  The result is provably
+    exact at any Bloom false-positive rate, so the oracle is the plain
+    anti-join."""
+    from rust_html2text_spark.functions.dedup import new_keys_vs_snapshot
+
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    corpus = _docs(spark, sf_dir).select("doc_id", url.alias("url"), "lang")
+    snapshot = corpus.filter(F.col("doc_id") % 3 == 0).select("url")
+    out = new_keys_vs_snapshot(corpus, snapshot, key_col="url")
+    return out.select("doc_id", "url", "lang").orderBy("doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy token-budget sequence packing (training-batch construction)."""
+    from rust_html2text_spark.functions.pipeline import pack_sequences
+
+    packed = pack_sequences(_docs(spark, sf_dir), budget=256, num_shards=8)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "seq_no",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 # --- similarity search ----------------------------------------------------------
 
 
@@ -533,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
+        "bloom_new_urls": q_bloom_new_urls,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1162,5 +1196,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "bloom_new_urls": """
+            WITH c AS (
+                SELECT doc_id,
+                       'https://www.' || source || '.example.com/doc/'
+                           || CAST(doc_id AS VARCHAR) AS url,
+                       lang
+                FROM documents
+            )
+            SELECT doc_id, url, lang FROM c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c s WHERE s.doc_id % 3 = 0 AND s.url = c.url
+            )
+            ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS UBIGINT) AS h,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents WHERE text IS NOT NULL
+            ), sharded AS (
+                SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+                       h AS ord, n_tokens
+                FROM base
+            )
+            SELECT doc_id, shard,
+                   CAST(floor((sum(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY ord, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens) / 256)
+                        AS BIGINT) AS seq_no,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM sharded
+            ORDER BY doc_id
         """,
     }

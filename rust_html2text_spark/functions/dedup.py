@@ -359,3 +359,106 @@ def simhash_near_dups(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# -- incremental cross-snapshot dedup (Bloom pre-filter + exact confirm) ------
+
+
+def _bloom_positions(value: str, num_bits: int, num_hashes: int) -> list[int]:
+    """k deterministic bit positions per value (md5 over value|seed)."""
+    return [
+        int.from_bytes(
+            hashlib.md5(f"{value}|{seed}".encode("utf-8")).digest()[:8], "big"
+        )
+        % num_bits
+        for seed in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "url", num_bits: int = 1 << 20, num_hashes: int = 4
+) -> bytes:
+    """Distributed Bloom-filter build: each partition builds a local numpy
+    bitmap (mapInPandas), the driver ORs the per-partition bitmaps.
+
+    Driver traffic is num_partitions × num_bits/8 bytes — size num_bits for
+    the snapshot's cardinality (~10 bits/key for ~1% FP; false positives
+    only cost extra rows in the exact confirm join, never correctness)."""
+    nb, k = int(num_bits), int(num_hashes)
+    if nb % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitmap = np.zeros(nb // 8, dtype=np.uint8)
+        for pdf in batches:
+            for v in pdf[key_col].dropna():
+                for pos in _bloom_positions(str(v), nb, k):
+                    bitmap[pos >> 3] |= 1 << (pos & 7)
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    rows = df.select(key_col).mapInPandas(build, "bitmap binary").collect()
+    import numpy as np
+
+    out = np.zeros(nb // 8, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(bytes(r["bitmap"]), dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_probe_udf(bloom: bytes, num_hashes: int = 4):
+    """Vectorized membership probe against a broadcast bitmap: True =
+    maybe-seen (needs exact confirmation), False = definitely new."""
+    nb = len(bloom) * 8
+    k = int(num_hashes)
+
+    @pandas_udf("boolean")
+    def probe(vals: pd.Series) -> pd.Series:
+        import numpy as np
+
+        bitmap = np.frombuffer(bloom, dtype=np.uint8)
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            hit = True
+            for pos in _bloom_positions(str(v), nb, k):
+                if not (bitmap[pos >> 3] >> (pos & 7)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out, dtype="boolean")
+
+    return probe
+
+
+def new_keys_vs_snapshot(
+    corpus: DataFrame,
+    snapshot: DataFrame,
+    key_col: str = "url",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Rows of `corpus` whose key does not appear in `snapshot` — the
+    incremental-crawl dedup ("which of today's 10^10 urls are new vs the
+    last snapshot's 10^12").
+
+    EXACT semantics at Bloom cost: a Bloom of the snapshot keys routes
+    each corpus row either to "definitely new" (bloom miss — no false
+    negatives, rows skip the shuffle entirely) or to an exact left-anti
+    confirm join (bloom hit — true dups plus the ~FP-rate of new rows).
+    The anti-join therefore shuffles only |dups| + FP·|new| rows instead
+    of the whole corpus; the result is provably identical to the plain
+    anti-join at any FP rate."""
+    bloom = bloom_build(snapshot, key_col, num_bits, num_hashes)
+    probe = bloom_probe_udf(bloom, num_hashes)
+    probed = corpus.withColumn("_maybe_seen", probe(F.col(key_col)))
+    definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = candidates.join(
+        snapshot.select(key_col).distinct(), key_col, "left_anti"
+    ).select(*candidates.columns)
+    return definitely_new.unionByName(confirmed_new)

@@ -66,3 +66,50 @@ def training_pipeline(
         .filter(F.col("rn") == 1)
         .select("url", "text", "n_tokens", "quality", "fingerprint")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    num_shards: int = 8,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence packing: assign documents to fixed
+    token-budget training sequences.
+
+    Docs are sharded by a deterministic md5-derived key and ordered within
+    the shard by the same hash (reproducible across runs/engines/
+    partitionings, like stratified_sample); each doc joins the sequence
+    its running token total starts in, so a sequence may overflow by at
+    most one document (the standard greedy packing used to build training
+    batches).  One window per shard — shards are the parallelism unit, so
+    at crawl scale raise num_shards to ~cores×4; a single global ordering
+    would serialize the cumsum.
+
+    Returns (doc_id, shard, seq_no, n_tokens).
+    """
+    from pyspark.sql.window import Window
+
+    hkey = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(key_col),
+        (hkey % num_shards).alias("shard"),
+        hkey.alias("_order"),
+        F.size(toks).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_order", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        key_col,
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_no"),
+        "n_tokens",
+    )

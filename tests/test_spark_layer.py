@@ -541,3 +541,83 @@ def test_embedding_dups_recall_floor(spark):
     assert got <= exact
     recall = len(got) / len(exact)
     assert recall >= 0.9, f"recall {recall:.3f} ({len(got)}/{len(exact)})"
+
+
+def test_bloom_new_keys_exactness(spark):
+    """new_keys_vs_snapshot must equal the plain anti-join at ANY Bloom
+    false-positive rate — force a high-FP bloom (tiny bitmap) to prove the
+    confirm join restores exactness, and check no-false-negatives."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.dedup import (
+        bloom_build,
+        bloom_probe_udf,
+        new_keys_vs_snapshot,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("key")
+    )
+    snapshot = docs.filter(F.col("doc_id") % 4 == 0).select("key")
+    expect = {
+        r.doc_id
+        for r in docs.join(snapshot, "key", "left_anti").collect()
+    }
+    for num_bits in (1 << 16, 256):  # 256 bits over ~125 keys: FP-heavy
+        got = {
+            r.doc_id
+            for r in new_keys_vs_snapshot(
+                docs, snapshot, key_col="key", num_bits=num_bits
+            ).collect()
+        }
+        assert got == expect, f"num_bits={num_bits}"
+    # no false negatives: every snapshot key probes maybe-seen=True
+    bloom = bloom_build(snapshot, "key", num_bits=1 << 16)
+    probed = snapshot.withColumn("m", bloom_probe_udf(bloom)(F.col("key")))
+    assert probed.filter(~F.col("m")).count() == 0
+
+
+def test_pack_sequences_budget_property(spark):
+    """Greedy packing invariants: deterministic across partitionings, and
+    every doc STARTS within its sequence's budget (a sequence overflows by
+    at most its final document)."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    budget = 128
+    packed = pack_sequences(docs, budget=budget, num_shards=4).collect()
+    again = {
+        (r.doc_id, r.shard, r.seq_no)
+        for r in pack_sequences(
+            docs.repartition(13), budget=budget, num_shards=4
+        ).collect()
+    }
+    assert {(r.doc_id, r.shard, r.seq_no) for r in packed} == again
+
+    from collections import defaultdict
+
+    by_seq = defaultdict(int)
+    starts_ok = True
+    # reconstruct per-shard order deterministically: group sums suffice —
+    # the start offset of a doc is (cumsum within its seq) - n_tokens
+    import hashlib as h
+
+    def order_key(doc_id):
+        return int(h.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    rows = sorted(packed, key=lambda r: (r.shard, order_key(r.doc_id), r.doc_id))
+    running = defaultdict(int)
+    for r in rows:
+        start = running[(r.shard, r.seq_no)]
+        if start >= budget:
+            starts_ok = False
+        running[(r.shard, r.seq_no)] += r.n_tokens
+        by_seq[(r.shard, r.seq_no)] += r.n_tokens
+    assert starts_ok
+    # sequences are dense per shard: 0..max with no gaps
+    shards = {s for s, _ in by_seq}
+    for s in shards:
+        seqs = sorted(q for sh, q in by_seq if sh == s)
+        assert seqs == list(range(len(seqs)))
