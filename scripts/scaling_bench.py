@@ -192,7 +192,12 @@ def main() -> None:
         "",
         "_Generated by scripts/scaling_bench.py._",
     ]
-    md.write_text("\n".join(lines) + "\n")
+    # preserve hand-maintained analysis across regenerations
+    marker = "<!-- HAND-MAINTAINED NOTES BELOW -->"
+    tail = ""
+    if md.exists() and marker in md.read_text():
+        tail = "\n" + marker + md.read_text().split(marker, 1)[1]
+    md.write_text("\n".join(lines) + "\n" + tail)
     print(f"wrote {md}")
 
 
