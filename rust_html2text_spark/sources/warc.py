@@ -118,46 +118,47 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
             pos = 0
 
 
-def _file_chunks(path: str) -> Iterator[bytes]:
-    """Yield decompressed chunks of a .warc or .warc.gz file.  Multi-member
-    gzip (the Common Crawl record-per-member convention) is handled by
-    chaining decompressors on `unused_data`."""
-    with open(path, "rb") as fh:
-        head = fh.read(2)
-        if head != _GZIP_MAGIC:
-            yield head
-            while True:
-                chunk = fh.read(_CHUNK)
-                if not chunk:
-                    return
-                yield chunk
-            return
-        d = zlib.decompressobj(wbits=31)
-        pending = head
+def _fileobj_chunks(fh) -> Iterator[bytes]:
+    """Yield decompressed chunks of a .warc / .warc.gz byte stream.
+    Multi-member gzip (the Common Crawl record-per-member convention) is
+    handled by chaining decompressors on `unused_data`."""
+    head = fh.read(2)
+    if head != _GZIP_MAGIC:
+        yield head
         while True:
             chunk = fh.read(_CHUNK)
-            data = pending + chunk
-            pending = b""
-            if not data:
-                return
-            while data:
-                out = d.decompress(data)
-                if out:
-                    yield out
-                if d.eof:
-                    data = d.unused_data
-                    d = zlib.decompressobj(wbits=31)
-                else:
-                    data = b""
             if not chunk:
                 return
+            yield chunk
+        return
+    d = zlib.decompressobj(wbits=31)
+    pending = head
+    while True:
+        chunk = fh.read(_CHUNK)
+        data = pending + chunk
+        pending = b""
+        if not data:
+            return
+        while data:
+            out = d.decompress(data)
+            if out:
+                yield out
+            if d.eof:
+                data = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+            else:
+                data = b""
+        if not chunk:
+            return
 
 
-def iter_warc_file(
-    path: str, include_types: tuple[str, ...] = ("response",)
-) -> Iterator[tuple[str, datetime | None, bytes]]:
-    """Yield (url, warc_ts, html_bytes) for each matching record."""
-    for headers, block in iter_warc_records(_file_chunks(path)):
+def _file_chunks(path: str) -> Iterator[bytes]:
+    with open(path, "rb") as fh:
+        yield from _fileobj_chunks(fh)
+
+
+def _iter_warc_pages(chunks, include_types):
+    for headers, block in iter_warc_records(chunks):
         if headers.get("warc-type") not in include_types:
             continue
         url = headers.get("warc-target-uri")
@@ -165,6 +166,23 @@ def iter_warc_file(
             continue
         ts = _parse_warc_date(headers.get("warc-date", ""))
         yield url, ts, _split_http_payload(block)
+
+
+def iter_warc_file(
+    path: str, include_types: tuple[str, ...] = ("response",)
+) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """Yield (url, warc_ts, html_bytes) for each matching record."""
+    yield from _iter_warc_pages(_file_chunks(path), include_types)
+
+
+def iter_warc_bytes(
+    data: bytes, include_types: tuple[str, ...] = ("response",)
+) -> Iterator[tuple[str, datetime | None, bytes]]:
+    """In-memory variant of iter_warc_file (e.g. a binaryFile-source
+    `content` column in Structured Streaming)."""
+    import io
+
+    yield from _iter_warc_pages(_fileobj_chunks(io.BytesIO(data)), include_types)
 
 
 # -- the Spark source --------------------------------------------------------

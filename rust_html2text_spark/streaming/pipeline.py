@@ -159,3 +159,75 @@ def curate_stream(
     if langs is not None:
         scored = scored.filter(F.col("pred_lang").isin(list(langs)))
     return scored.drop("pred_lang")
+
+
+def stream_warc_pages(
+    spark: SparkSession,
+    input_path: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming WARC ingest: crawl archives dropped into `input_path`
+    become pages rows as they land.  binaryFile file-source (whole-archive
+    rows, so size maxFilesPerTrigger × archive size to executor memory) →
+    the same stdlib record parser as the batch WARC source
+    (sources/warc.iter_warc_bytes)."""
+    raw = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed; streaming sources require it stated
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_path)
+    )
+
+    def parse(batches):
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        import pandas as pd
+
+        from rust_html2text_spark.sources.warc import iter_warc_bytes
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = [
+                    (url, ts, html, None, None)
+                    for url, ts, html in iter_warc_bytes(bytes(content))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
+
+    from rust_html2text_spark.sources.warc import PAGES_SCHEMA
+
+    return raw.select("content").mapInPandas(parse, PAGES_SCHEMA)
+
+
+def start_warc_render_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+):
+    """WARC archives → rendered text, streaming end to end: exactly-once
+    parquet output with checkpointed resume, same render stage as batch."""
+    rendered = render_stream(
+        stream_warc_pages(spark, input_path), width=width, config_kwargs=config_kwargs
+    )
+    return (
+        rendered.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -158,3 +158,37 @@ def test_spark_read_warc_pages_matches_parquet_pages(spark, tmp_path):
     }
     assert warc_text == parquet_text
     assert len(warc_text) == 60
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """WARC archives streamed via binaryFile → render must equal the batch
+    WARC source → render, with checkpointed exactly-once output."""
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.streaming.pipeline import start_warc_render_stream
+
+    rows = load_pages(spark, SF_DIR).limit(30).collect()
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for part in range(2):
+        write_warc_file(
+            str(inp / f"part-{part}.warc.gz"),
+            [
+                (r["url"], r["warc_ts"], bytes(r["html"]))
+                for r in rows[part * 15 : (part + 1) * 15]
+            ],
+        )
+    q = start_warc_render_stream(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        (r.url, r.text)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    batch_pages = read_warc_pages(spark, str(inp / "*.warc.gz"))
+    batch = sorted(
+        (r.url, r.text) for r in render_pages(batch_pages, width=80).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 30
