@@ -301,6 +301,19 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
 
 
+def q_dup_components(spark, sf_dir):
+    """Duplicate clusters: connected components over the LSH candidate
+    pairs (min-reachable-doc_id labels).  Oracle = DuckDB recursive CTE
+    transitive closure over the same pairs."""
+    from rust_html2text_spark.functions.dedup import (
+        dup_components,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
+    return dup_components(pairs).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from rust_html2text_spark.functions.dedup import lsh_candidate_pairs, ngram_jaccard
 
@@ -567,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "bloom_new_urls": q_bloom_new_urls,
         "pack_sequences": q_pack_sequences,
+        "dup_components": q_dup_components,
     }
 
 
@@ -962,6 +976,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {minhash_select} FROM sh"
         ),
         "lsh_candidate_pairs": f"{sigs_cte} SELECT doc_a, doc_b FROM pairs",
+        "dup_components": (
+            # transitive closure over the LSH pairs; component = min
+            # reachable doc_id (matches dup_components' label propagation)
+            sigs_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+            + """, edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node ORDER BY doc_id"""
+        ),
         "ngram_jaccard": (
             f"{sigs_cte} "
             "SELECT p.doc_a, p.doc_b, "

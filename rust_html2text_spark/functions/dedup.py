@@ -462,3 +462,75 @@ def new_keys_vs_snapshot(
         snapshot.select(key_col).distinct(), key_col, "left_anti"
     ).select(*candidates.columns)
     return definitely_new.unionByName(confirmed_new)
+
+
+# -- duplicate-cluster resolution (connected components) ----------------------
+
+
+def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs: each doc
+    gets `component_id` = the minimum doc_id reachable through the pair
+    graph — the cluster key for keep-one-per-cluster dedup (the step after
+    exact/LSH/SimHash pair finding).
+
+    Iterative min-label propagation with pointer jumping: each round (a)
+    takes the min label over every node's neighbourhood and (b) replaces
+    each label by its label's label — (b) halves the remaining distance to
+    the component minimum, so convergence is O(log diameter) rounds (the
+    same doubling idea as the published large-star/small-star method).
+    Each round is two shuffles; lineage is cut per round with
+    localCheckpoint so the plan does not grow with iterations.  The driver
+    holds only the convergence counter, never the labels."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _round in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.src, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label := label's label (distance-halving)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))

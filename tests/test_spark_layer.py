@@ -621,3 +621,20 @@ def test_pack_sequences_budget_property(spark):
     for s in shards:
         seqs = sorted(q for sh, q in by_seq if sh == s)
         assert seqs == list(range(len(seqs)))
+
+
+def test_dup_components_known_graph(spark):
+    """Chain, clique and isolated pair must resolve to min-id components;
+    a long chain exercises multi-round convergence."""
+    from rust_html2text_spark.functions.dedup import dup_components
+
+    # clique {1,2,3}, chain 10-11-12-13-14, pair {20,21}
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)]
+    # plus a 30-node chain to force several propagation rounds
+    pairs += [(100 + i, 101 + i) for i in range(30)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component_id for r in dup_components(df).collect()}
+    assert {got[i] for i in (1, 2, 3)} == {1}
+    assert {got[i] for i in (10, 11, 12, 13, 14)} == {10}
+    assert {got[i] for i in (20, 21)} == {20}
+    assert {got[100 + i] for i in range(31)} == {100}
