@@ -301,6 +301,13 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
 
 
+def q_token_rarity(spark, sf_dir):
+    """Corpus-frequency rarity score (IDF-style, rational-exact)."""
+    from rust_html2text_spark.functions.textstats import token_rarity
+
+    return token_rarity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dup_components(spark, sf_dir):
     """Duplicate clusters: connected components over the LSH candidate
     pairs (min-reachable-doc_id labels).  Oracle = DuckDB recursive CTE
@@ -581,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_new_urls": q_bloom_new_urls,
         "pack_sequences": q_pack_sequences,
         "dup_components": q_dup_components,
+        "token_rarity": q_token_rarity,
     }
 
 
@@ -1226,6 +1234,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "token_rarity": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ), f AS (
+                SELECT tok, count(*) AS c FROM t GROUP BY tok
+            ), tot AS (
+                SELECT count(*) AS total FROM t
+            )
+            SELECT doc_id,
+                   round(CAST(sum(CAST(CAST(total AS DOUBLE) / c
+                                       AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS rarity,
+                   count(*) AS n_tokens
+            FROM t JOIN f USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "bloom_new_urls": """
             WITH c AS (

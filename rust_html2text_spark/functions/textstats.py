@@ -102,3 +102,38 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency rarity score per document (IDF-flavoured quality
+    signal: garbage/OCR noise scores high, boilerplate scores low).
+
+    rarity = avg over the doc's tokens of total_tokens / corpus_count(tok).
+
+    Deliberately rational arithmetic — no ln(): libm log differs across
+    engines in the last ulp, which would break exact oracle certification;
+    every step here (integer counts, one correctly-rounded IEEE division,
+    DECIMAL-exact summation) is bit-reproducible at any parallelism.
+
+    Plan shape: one token-explode shuffle for corpus frequencies (the same
+    stream minhash shingling pays), the 1-row total broadcast-crossed, the
+    per-token frequency join left to AQE (broadcast while the vocab is
+    small, shuffle join at web-scale vocab), then a per-doc aggregation."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", F.explode(toks).alias("tok")
+    )
+    freq = t.groupBy("tok").agg(F.count("*").alias("c"))
+    total = t.agg(F.count("*").alias("total"))
+    ratio = (F.col("total") / F.col("c")).cast("decimal(28,10)")
+    return (
+        t.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.sum(ratio).cast("double") / F.count("*")), 6
+            ).alias("rarity"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
