@@ -285,7 +285,10 @@ def simhash_band_widths(max_hamming: int) -> list[int]:
 
 
 def simhash_near_dups(
-    docs: DataFrame, max_hamming: int = 8, max_bucket: int | None = None
+    docs: DataFrame,
+    max_hamming: int = 8,
+    max_bucket: int | None = None,
+    persist_signatures: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance, with *guaranteed*
     recall: the 64 bits split into max_hamming + 1 bands, so every pair
@@ -300,7 +303,15 @@ def simhash_near_dups(
     over-populated band buckets; the cap BREAKS the recall guarantee for
     pairs whose every shared band is hot, in exchange for bounded work
     (the capped buckets are dominated by templated near-identical content
-    that exact dedup should have removed first)."""
+    that exact dedup should have removed first).
+
+    The self-join evaluates the simhash UDF once per side (2× total);
+    `persist_signatures=True` caches the signature frame so it runs once,
+    at the cost of writing/reading the cache.  Measured at 125k short
+    docs the two break even (the banded join dominates); the flag pays
+    off when documents are long enough that hashing outweighs the join —
+    caller unpersists via the returned frame's lineage or a fresh
+    sparkSession.catalog.clearCache()."""
     # Drop NULL-text docs BEFORE the UDF (the predicate reaches the parquet
     # scan), and wrap the UDF in coalesce(..., 0) — a no-op on non-null text
     # — so the simhash column is provably non-nullable.  Any nullable UDF
@@ -311,6 +322,8 @@ def simhash_near_dups(
         "doc_id",
         F.coalesce(simhash_udf(F.col("text")), F.lit(0)).alias("simhash"),
     )
+    if persist_signatures:
+        s = s.persist()
     widths = simhash_band_widths(max_hamming)
     # One-pass banding: explode an array of (band, band_key) structs so the
     # simhash UDF is evaluated once per join side instead of once per band

@@ -638,3 +638,23 @@ def test_dup_components_known_graph(spark):
     assert {got[i] for i in (10, 11, 12, 13, 14)} == {10}
     assert {got[i] for i in (20, 21)} == {20}
     assert {got[100 + i] for i in range(31)} == {100}
+
+
+def test_render_scan_pruned_to_url_html(spark, tmp_path):
+    """Column pruning must reach the parquet scan: rendering a wide pages
+    table may read ONLY url+html (at 100 TB, reading text/lang/warc_ts too
+    would multiply scan bytes)."""
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    p = str(tmp_path / "pages")
+    load_pages(spark, SF_DIR).limit(50).write.parquet(p)
+    df = render_pages(spark.read.parquet(p), width=80)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "no parquet scan in plan"
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "url" in schema and "html" in schema
+        for unwanted in ("text", "lang", "warc_ts"):
+            assert unwanted not in schema, line
