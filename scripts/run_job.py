@@ -30,6 +30,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="pages parquet/iceberg path")
     ap.add_argument("--output", required=True, help="output table path")
+    ap.add_argument(
+        "--input-format",
+        default="auto",
+        choices=["auto", "parquet", "warc"],
+        help="'warc' reads .warc/.warc.gz archives (Common Crawl layout); "
+        "'auto' picks warc when --input looks like WARC files",
+    )
     # main.rs:286-291 (-w/--width), 292-297 (-W/--wrap-width)
     ap.add_argument("-w", "--width", type=int, default=80)
     ap.add_argument(
@@ -171,7 +178,15 @@ def main() -> None:
     config_kwargs, render_kwargs = config_from_args(args)
 
     spark = get_spark(app_name="html2text-job", master=args.master)
-    pages = spark.read.parquet(args.input)
+    fmt = args.input_format
+    if fmt == "auto":
+        fmt = "warc" if ".warc" in os.path.basename(args.input) else "parquet"
+    if fmt == "warc":
+        from rust_html2text_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input)
+    else:
+        pages = spark.read.parquet(args.input)
 
     debug_url = args.show_text or args.show_render or args.show_dom or args.show_css
     if debug_url:

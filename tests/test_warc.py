@@ -192,3 +192,50 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) == 30
+
+
+def test_payload_containing_warc_markers(tmp_path):
+    """Content-Length framing must survive payloads that contain
+    '\\r\\n\\r\\n' and 'WARC/1.0' byte sequences (hostile html)."""
+    evil = (
+        b"<html><body><pre>\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 99999\r\n\r\n</pre><p>still doc 0</p></body></html>"
+    )
+    recs = [
+        ("https://e.com/evil", datetime(2026, 1, 1), evil),
+        ("https://e.com/next", datetime(2026, 1, 2), b"<p>doc 1</p>"),
+    ]
+    for gz in (True, False):
+        path = str(tmp_path / (f"evil-{gz}.warc" + (".gz" if gz else "")))
+        write_warc_file(path, recs, gzip_members=gz)
+        assert list(iter_warc_file(path)) == recs
+
+
+def test_fuzz_roundtrip_random_payloads(tmp_path):
+    """Property: any byte payload round-trips through write+parse, under
+    any stream chunking."""
+    import random
+
+    rng = random.Random(42)
+    recs = []
+    for i in range(40):
+        n = rng.randrange(0, 400)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        recs.append((f"https://f.com/{i}", datetime(2026, 1, 1, 0, 0, i % 60), payload))
+    path = str(tmp_path / "fuzz.warc.gz")
+    write_warc_file(path, recs)
+    assert list(iter_warc_file(path)) == recs
+    # arbitrary chunk sizes over the plain stream
+    plain = str(tmp_path / "fuzz.warc")
+    write_warc_file(plain, recs, gzip_members=False)
+    raw = open(plain, "rb").read()
+
+    def chunks(size):
+        for i in range(0, len(raw), size):
+            yield raw[i : i + size]
+
+    from rust_html2text_spark.sources.warc import _iter_warc_pages
+
+    for size in (1, 7, 4096, len(raw)):
+        got = list(_iter_warc_pages(chunks(size), ("response",)))
+        assert got == recs, f"chunk size {size}"
