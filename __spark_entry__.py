@@ -301,6 +301,16 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     return lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4, band_size=2)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (32-token chunks, stride 16 —
+    sized so sf docs, 10-99 tokens, produce real overlapping chunks)."""
+    from rust_html2text_spark.functions.pipeline import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, stride=16
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_token_rarity(spark, sf_dir):
     """Corpus-frequency rarity score (IDF-style, rational-exact)."""
     from rust_html2text_spark.functions.textstats import token_rarity
@@ -589,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dup_components": q_dup_components,
         "token_rarity": q_token_rarity,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1234,6 +1245,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "chunk_documents": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ), c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE (len(toks) - 32 + 16 - 1) // 16 + 1 END
+                           AS n_chunks
+                FROM base
+            )
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+                   array_to_string(
+                       list_slice(toks, CAST(u.i * 16 + 1 AS BIGINT),
+                                  CAST(u.i * 16 + 32 AS BIGINT)), ' '
+                   ) AS chunk_text,
+                   CAST(least(32, n - u.i * 16) AS BIGINT) AS n_tokens
+            FROM c, UNNEST(range(0, CAST(n_chunks AS BIGINT))) AS u(i)
+            ORDER BY doc_id, chunk_id
         """,
         "token_rarity": """
             WITH t AS (

@@ -113,3 +113,49 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_no"),
         "n_tokens",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int = 512,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token chunks for context-window
+    construction; stride < chunk_tokens gives overlapping chunks (the
+    standard sliding-window pretraining shape).
+
+    Entirely narrow, whole-stage-codegen expressions (split + sequence
+    explode + slice) — no shuffle, no UDF: the op scales as a pure map
+    over the corpus.  The final (possibly short) chunk starts at the last
+    stride boundary that still contains unseen tokens.
+
+    Returns (key, chunk_id, chunk_text, n_tokens).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.floor((n - chunk_tokens + stride - 1) / stride) + 1
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(key_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.col("chunk_id") * stride).cast("int")
+    return base.select(
+        key_col,
+        "chunk_id",
+        F.array_join(F.slice("_toks", start + 1, chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start)
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -658,3 +658,33 @@ def test_render_scan_pruned_to_url_html(spark, tmp_path):
         assert "url" in schema and "html" in schema
         for unwanted in ("text", "lang", "warc_ts"):
             assert unwanted not in schema, line
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Non-overlapping chunks (stride == chunk) concatenate back to the
+    exact token stream; overlapping chunks respect size and overlap."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.pipeline import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    src = {
+        r.doc_id: " ".join(r.text.strip().split())
+        for r in docs.collect()
+        if r.text is not None
+    }
+    flat = chunk_documents(docs, chunk_tokens=16, stride=16).collect()
+    rebuilt = {}
+    for r in sorted(flat, key=lambda r: (r.doc_id, r.chunk_id)):
+        rebuilt[r.doc_id] = (rebuilt.get(r.doc_id, "") + " " + r.chunk_text).strip()
+        assert r.n_tokens == len(r.chunk_text.split()) <= 16
+    assert rebuilt == src
+
+    over = chunk_documents(docs, chunk_tokens=16, stride=8).collect()
+    by_doc = {}
+    for r in over:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split()
+    for doc_id, chunks in by_doc.items():
+        for i in range(len(chunks) - 1):
+            # consecutive chunks overlap by chunk - stride = 8 tokens
+            assert chunks[i][8:] == chunks[i + 1][: len(chunks[i][8:])]
