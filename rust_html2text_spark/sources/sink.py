@@ -119,19 +119,39 @@ def run_with_resume(
         bucket_path = os.path.join(out_path, f"bucket={b}")
         rendered.write.mode("overwrite").parquet(bucket_path)
 
+        # per-file lineage rows for the metrics table (the Iceberg
+        # manifest-entry analogue: committed file → row/byte/error counts),
+        # written BEFORE the bucket manifest rename so a crash between the
+        # two is repaired by the idempotent re-run overwrite
         out_df = rendered.sparkSession.read.parquet(bucket_path)
-        stats = out_df.agg(
-            F.count("*").alias("rows"),
-            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("errors"),
-            F.sum("html_bytes").alias("html_bytes"),
-            F.sum("text_bytes").alias("text_bytes"),
-        ).collect()[0]
+        metrics = (
+            out_df.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(
+                    F.when(F.col("error").isNull(), 0).otherwise(1)
+                ).alias("errors"),
+                F.sum("html_bytes").alias("html_bytes"),
+                F.sum("text_bytes").alias("text_bytes"),
+            )
+            .withColumn("bucket", F.lit(b))
+        )
+        metrics_path = os.path.join(out_path, "_metrics", f"bucket={b}")
+        metrics.write.mode("overwrite").parquet(metrics_path)
+        file_rows = rendered.sparkSession.read.parquet(metrics_path).collect()
+        stats = {
+            "rows": sum(r["rows"] for r in file_rows),
+            "errors": sum(int(r["errors"] or 0) for r in file_rows),
+            "html_bytes": sum(int(r["html_bytes"] or 0) for r in file_rows),
+            "text_bytes": sum(int(r["text_bytes"] or 0) for r in file_rows),
+        }
         manifest = {
             "bucket": b,
             "rows": stats["rows"],
-            "errors": int(stats["errors"] or 0),
-            "html_bytes": int(stats["html_bytes"] or 0),
-            "text_bytes": int(stats["text_bytes"] or 0),
+            "errors": stats["errors"],
+            "html_bytes": stats["html_bytes"],
+            "text_bytes": stats["text_bytes"],
+            "n_files": len(file_rows),
             "width": width,
             "committed_at": time.time(),
         }

@@ -688,3 +688,33 @@ def test_chunk_documents_reconstruction(spark):
         for i in range(len(chunks) - 1):
             # consecutive chunks overlap by chunk - stride = 8 tokens
             assert chunks[i][8:] == chunks[i + 1][: len(chunks[i][8:])]
+
+
+def test_sink_metrics_table(spark, tmp_path):
+    """The sink writes a per-file lineage table (_metrics/bucket=*) whose
+    totals equal the manifest and the actual output."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.sources.sink import run_with_resume
+
+    pages = load_pages(spark, SF_DIR).limit(60).cache()
+    out = str(tmp_path / "out")
+    s = run_with_resume(pages, out, num_buckets=3)
+    assert s["rows"] == 60
+    metrics = spark.read.parquet(f"{out}/_metrics/bucket=*")
+    mrow = metrics.agg(
+        F.sum("rows").alias("rows"), F.sum("text_bytes").alias("tb")
+    ).collect()[0]
+    assert mrow["rows"] == 60
+    data = spark.read.parquet(f"{out}/bucket=*")
+    drow = data.agg(
+        F.count("*").alias("rows"), F.sum("text_bytes").alias("tb")
+    ).collect()[0]
+    assert (mrow["rows"], mrow["tb"]) == (drow["rows"], drow["tb"])
+    # every metrics row names a real committed file
+    import os
+
+    for r in metrics.collect():
+        assert os.path.exists(r["file"].replace("file://", "")), r["file"]
+        assert r["rows"] > 0
