@@ -18,27 +18,39 @@ from tests.test_wrap_differential import reference_add_text_normal, render_with
 # text including tricky chars: NBSP, ZWSP, wide CJK, combining, controls
 _tricky = st.text(
     alphabet=st.sampled_from(
-        list("abc XY.,!-") + ["\xa0", "\u200b", "好", "é", "̶", "\t", "\n", "—"]
+        list("abc XY.,!-") + ["\xa0", "\u200b", "好", "é", "̶", "\t", "\n", "—", "\r", "\x0b", "💡", "ﬁ", "\xad", "가", "　"]
     ),
     max_size=40,
 )
 
 
+def _wrap_outcome(fn, pieces, width):
+    """Result lines, or the TooNarrow outcome (an unsplittable wide char at
+    width 1 legitimately raises) — both paths must agree on either."""
+    from rust_html2text_spark.engine.errors import TooNarrow
+
+    try:
+        return ("ok", render_with(fn, pieces, width))
+    except TooNarrow:
+        return ("too_narrow",)
+
+
 @settings(max_examples=250, deadline=None)
 @given(st.lists(st.tuples(_tricky, st.sampled_from(["t", "u"])), max_size=6),
-       st.integers(min_value=2, max_value=30))
+       st.integers(min_value=1, max_value=30))
 def test_wrap_fast_path_equivalence(pieces, width):
-    fast = render_with(
+    fast = _wrap_outcome(
         lambda b, t, tg: b.add_text(t, WS_NORMAL, tg, tg), pieces, width
     )
-    slow = render_with(reference_add_text_normal, pieces, width)
+    slow = _wrap_outcome(reference_add_text_normal, pieces, width)
     assert fast == slow
 
 
 _soup = st.lists(
     st.sampled_from(
-        list("<>/=\"' abcdefp!&;#-") + ["table", "tr", "td", "li", "ul", "pre",
-                                        "&amp;", "<!--", "-->", "<![CDATA[", "]]>"]
+        list("<>/=\"' abcdefp!&;#-[]?") + ["table", "tr", "td", "li", "ul", "pre",
+                                           "&amp;", "<!--", "-->", "<![CDATA[",
+                                           "]]>", "<![if", "<!doctype"]
     ),
     max_size=60,
 ).map("".join)
@@ -67,4 +79,13 @@ def test_fast_tokenizer_matches_stdlib(soup):
             tuple(dump(c) for c in node.children),
         )
 
-    assert dump(parse_html(soup, fast=True)) == dump(parse_html(soup, fast=False))
+    try:
+        expected = dump(parse_html(soup, fast=False))
+    except (AssertionError, ValueError):
+        # stdlib HTMLParser *raises* on unknown marked-section keywords
+        # (AssertionError from _markupbase for '<![ifa'); the fast path
+        # recovers html5ever-style instead.  The stdlib is only the oracle
+        # here — discard inputs it cannot judge (production always uses
+        # fast=True).
+        hypothesis.assume(False)
+    assert dump(parse_html(soup, fast=True)) == expected
