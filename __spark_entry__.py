@@ -311,6 +311,13 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring coverage (Lee et al. 2022 signal)."""
+    from rust_html2text_spark.functions.dedup import duplicated_span_fraction
+
+    return duplicated_span_fraction(_docs(spark, sf_dir), k=8).orderBy("doc_id")
+
+
 def q_token_rarity(spark, sf_dir):
     """Corpus-frequency rarity score (IDF-style, rational-exact)."""
     from rust_html2text_spark.functions.textstats import token_rarity
@@ -600,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "token_rarity": q_token_rarity,
         "chunk_documents": q_chunk_documents,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -1245,6 +1253,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "dup_spans": """
+            WITH b2 AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+                       len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+                FROM documents WHERE text IS NOT NULL
+            ), sh AS (
+                SELECT doc_id, u.i - 1 AS pos,
+                       md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')) AS h
+                FROM b2,
+                     UNNEST(range(1, CAST(greatest(n_tokens - 7, 0) AS BIGINT) + 1)) AS u(i)
+            ), dup AS (
+                SELECT h FROM sh GROUP BY h HAVING count(*) > 1
+            ), hits AS (
+                SELECT doc_id, pos FROM sh JOIN dup USING (h)
+            ), isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 8
+                            THEN 1 ELSE 0 END AS ni
+                FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS island
+                FROM isl
+            ), cov AS (
+                SELECT doc_id, island, max(pos) - min(pos) + 8 AS span
+                FROM isl2 GROUP BY doc_id, island
+            ), per_doc AS (
+                SELECT doc_id, CAST(sum(span) AS BIGINT) AS dup_tokens
+                FROM cov GROUP BY doc_id
+            )
+            SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   coalesce(p.dup_tokens, 0) AS dup_tokens,
+                   round(coalesce(p.dup_tokens, 0) * 1.0 / b.n_tokens, 6)
+                       AS dup_fraction
+            FROM b2 b LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY doc_id
         """,
         "chunk_documents": """
             WITH base AS (

@@ -547,3 +547,79 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+# -- exact duplicated-substring coverage (Lee et al. 2022 style) --------------
+
+
+def duplicated_span_fraction(
+    docs: DataFrame, k: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document fraction of tokens covered by an exact k-token
+    substring that occurs more than once in the corpus (the signal behind
+    "Deduplicating Training Data Makes Language Models Better": docs heavy
+    in duplicated substrings are boilerplate/templated).
+
+    Positions of duplicated k-shingles are merged into covering intervals
+    with a gaps-and-islands window (consecutive hits ≤ k apart fuse), so
+    overlapping repeats are not double-counted.  Shuffles: the shingle
+    stream once for the global duplicate-hash aggregation, the hit
+    positions once for the per-doc windows — both scale-linear, no joins
+    against the corpus text itself.
+
+    Returns (doc_id, n_tokens, dup_tokens, dup_fraction).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+    tok_stream = base.select(
+        "doc_id", "n_tokens", F.posexplode("toks").alias("pos", "tok")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w_doc).alias(f"l{j}") for j in range(1, k)]
+    sh = tok_stream.select("doc_id", "n_tokens", "pos", "tok", *leads).filter(
+        F.col(f"l{k - 1}").isNotNull()
+    )
+    sh = sh.select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", "tok", *[f"l{j}" for j in range(1, k)])
+        ).alias("h"),
+    )
+    dup_h = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+    hits = sh.join(dup_h.select("h"), "h").select("doc_id", "n_tokens", "pos")
+    # gaps-and-islands: a hit starts a new covered interval iff it is more
+    # than k tokens after the previous hit (else the k-spans overlap/abut)
+    prev = F.lag("pos").over(w_doc)
+    islands = hits.withColumn(
+        "new_island",
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    covered = (
+        islands.groupBy("doc_id", "n_tokens", "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("span").cast("long").alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(covered.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_fraction"),
+        )
+    )

@@ -718,3 +718,23 @@ def test_sink_metrics_table(spark, tmp_path):
     for r in metrics.collect():
         assert os.path.exists(r["file"].replace("file://", "")), r["file"]
         assert r["rows"] > 0
+
+
+def test_duplicated_span_fraction_known_answer(spark):
+    """Two docs sharing an exact 10-token run: the 3 overlapping duplicated
+    8-shingles must merge to a single 10-token covered span in each; a
+    unique doc gets 0."""
+    from rust_html2text_spark.functions.dedup import duplicated_span_fraction
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "a1 a2 a3 " + shared + " a4 a5"),
+        (2, "b1 b2 " + shared + " b3 b4 b5 b6"),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_span_fraction(df, k=8).collect()}
+    assert got[1].dup_tokens == 10 and got[1].n_tokens == 15
+    assert got[2].dup_tokens == 10 and got[2].n_tokens == 16
+    assert got[3].dup_tokens == 0 and got[3].dup_fraction == 0.0
+    assert abs(got[1].dup_fraction - round(10 / 15, 6)) < 1e-9
