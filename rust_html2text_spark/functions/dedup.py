@@ -591,8 +591,15 @@ def duplicated_span_fraction(
             F.concat_ws(" ", "tok", *[f"l{j}" for j in range(1, k)])
         ).alias("h"),
     )
-    dup_h = sh.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
-    hits = sh.join(dup_h.select("h"), "h").select("doc_id", "n_tokens", "pos")
+    # window count over the shingle hash instead of groupBy + self-join:
+    # one shuffle on h and ONE computation of the shingle stream (a join
+    # back to sh would re-run the posexplode + k-lead pipeline per side)
+    w_h = Window.partitionBy("h")
+    hits = (
+        sh.withColumn("_c", F.count("*").over(w_h))
+        .filter(F.col("_c") > 1)
+        .select("doc_id", "n_tokens", "pos")
+    )
     # gaps-and-islands: a hit starts a new covered interval iff it is more
     # than k tokens after the previous hit (else the k-spans overlap/abut)
     prev = F.lag("pos").over(w_doc)

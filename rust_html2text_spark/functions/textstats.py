@@ -124,7 +124,11 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(toks).alias("tok")
     )
     freq = t.groupBy("tok").agg(F.count("*").alias("c"))
-    total = t.agg(F.count("*").alias("total"))
+    # total from the (vocab-sized) frequency table, NOT from the token
+    # stream — re-aggregating t would re-run the corpus explode a third
+    # time (freq + total + join); this way the stream is computed twice
+    # (freq, join) and the total pass touches only the vocabulary
+    total = freq.agg(F.sum("c").cast("long").alias("total"))
     ratio = (F.col("total") / F.col("c")).cast("decimal(28,10)")
     return (
         t.join(freq, "tok")
