@@ -311,6 +311,13 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_curation_verdict(spark, sf_dir):
+    """Composite keep/drop verdict with failure reasons (FineWeb-style)."""
+    from rust_html2text_spark.functions.webtext import curation_verdict
+
+    return curation_verdict(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dup_spans(spark, sf_dir):
     """Exact duplicated-substring coverage (Lee et al. 2022 signal)."""
     from rust_html2text_spark.functions.dedup import duplicated_span_fraction
@@ -608,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "chunk_documents": q_chunk_documents,
         "dup_spans": q_dup_spans,
+        "curation_verdict": q_curation_verdict,
     }
 
 
@@ -1253,6 +1261,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "curation_verdict": rf"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+                       length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
+                       CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
+                            WHEN {de} >= {fr} THEN 'de'
+                            ELSE 'fr' END AS pred_lang
+                FROM documents WHERE text IS NOT NULL
+            ), m AS (
+                SELECT doc_id, pred_lang,
+                       len(toks) AS n_words,
+                       nonspace * 1.0 / len(toks) AS mean_word_len,
+                       length(regexp_replace(text, '[^#*…]', '', 'g')) * 1.0
+                           / length(text) AS symbol_ratio,
+                       CASE WHEN len(toks) >= 2 THEN
+                           1.0 - len(list_distinct(list_transform(
+                               range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(list_slice(toks, i, i + 1), ' '))))
+                               * 1.0 / (len(toks) - 1)
+                       ELSE 0.0 END AS dup_bigram_frac
+                FROM t
+            ), v AS (
+                SELECT doc_id, n_words,
+                       concat_ws(',',
+                           CASE WHEN n_words < 50 THEN 'too_short' END,
+                           CASE WHEN mean_word_len < 3 OR mean_word_len > 10
+                                THEN 'word_len' END,
+                           CASE WHEN symbol_ratio >= 0.1 THEN 'symbol_ratio' END,
+                           CASE WHEN dup_bigram_frac >= 0.2 THEN 'repetitive' END,
+                           CASE WHEN pred_lang <> 'en' THEN 'lang' END
+                       ) AS reasons
+                FROM m
+            )
+            SELECT doc_id, (reasons = '') AS keep, reasons,
+                   CAST(n_words AS BIGINT) AS n_words
+            FROM v ORDER BY doc_id
         """,
         "dup_spans": """
             WITH b2 AS (

@@ -240,3 +240,51 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         phones.alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def curation_verdict(
+    docs: DataFrame,
+    min_words: int = 50,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """FineWeb-style composite curation verdict: one keep/drop decision per
+    document with the ordered list of failed rules ("too_short,lang"), so
+    a pipeline can both filter and report WHY mass was dropped.
+
+    Rules (fixed order): Gopher length/word-shape/symbol/repetition
+    thresholds, then stopword-vote language.  All whole-stage-codegen
+    expressions over the text column — a pure map, no shuffle; reasons are
+    a comma-joined string (concat_ws skips the NULLs of passed rules),
+    which also keeps the oracle engine-portable where list types are not.
+    """
+    from rust_html2text_spark.functions.textstats import pred_lang_col
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(toks)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_word_len = nonspace / n_words
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", r"[^#*…]", "")) / F.length("text")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(n_words - F.lit(1), F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    dup_bigram_frac = F.when(
+        n_words >= 2,
+        1.0 - F.size(F.array_distinct(bigrams)) / (n_words - F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    checks = [
+        (n_words < min_words, "too_short"),
+        ((mean_word_len < 3) | (mean_word_len > 10), "word_len"),
+        (symbol_ratio >= 0.1, "symbol_ratio"),
+        (dup_bigram_frac >= 0.2, "repetitive"),
+        (~pred_lang_col("text").isin(list(langs)), "lang"),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for cond, name in checks]
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+        n_words.alias("n_words"),
+    )

@@ -738,3 +738,39 @@ def test_duplicated_span_fraction_known_answer(spark):
     assert got[2].dup_tokens == 10 and got[2].n_tokens == 16
     assert got[3].dup_tokens == 0 and got[3].dup_fraction == 0.0
     assert abs(got[1].dup_fraction - round(10 / 15, 6)) < 1e-9
+
+
+def test_curation_verdict_reasons(spark):
+    """Each rule fires on a crafted document, in the fixed reason order."""
+    from rust_html2text_spark.functions.webtext import curation_verdict
+
+    sw = "the and of to a in is it that for".split()
+    # 60 tokens: en stopwords interleaved with unique long fillers — mean
+    # word length ~4, all bigrams unique, en vote dominant
+    good = " ".join(w for i in range(30) for w in (sw[i % 10], f"word{i:02d}"))
+    rows = [
+        (1, good),                                     # keep
+        (2, "the and of to a"),                        # too_short
+        (3, " ".join(["ab"] * 60)),                    # word_len (mean 2) + repetitive
+        (4, good + " " + "#*…# " * 30),                # symbol_ratio (+word_len?)
+        (5, " ".join(
+            w
+            for i in range(30)
+            for w in ("le la les et est un une des que pour".split()[i % 10],
+                      f"mot{i:02d}xx")
+        )),  # lang=fr (same healthy shape as `good`, french stopwords)
+        (6, None),                                     # dropped (NULL text)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation_verdict(df).collect()}
+    assert 6 not in got
+    assert got[1].keep and got[1].reasons == ""
+    assert "too_short" in got[2].reasons and not got[2].keep
+    assert "word_len" in got[3].reasons and "repetitive" in got[3].reasons
+    assert "symbol_ratio" in got[4].reasons
+    assert got[5].reasons == "lang" and not got[5].keep
+    # reasons are emitted in rule order
+    assert got[3].reasons.split(",") == sorted(
+        got[3].reasons.split(","),
+        key=["too_short", "word_len", "symbol_ratio", "repetitive", "lang"].index,
+    )
