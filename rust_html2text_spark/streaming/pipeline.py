@@ -107,10 +107,11 @@ def start_render_stream(
     output_path: str,
     checkpoint_path: str,
     width: int = 80,
+    config_kwargs: dict | None = None,
 ):
     """Start the streaming query (exactly-once parquet sink + checkpoint)."""
     pages = stream_pages(spark, input_path)
-    rendered = render_stream(pages, width=width)
+    rendered = render_stream(pages, width=width, config_kwargs=config_kwargs)
     return (
         rendered.writeStream.format("parquet")
         .option("path", output_path)

@@ -97,6 +97,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--raw", action="store_true")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt", type=int, default=0)
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run as a Structured Streaming job (availableNow trigger): "
+        "renders files as they land in --input, exactly-once parquet "
+        "output, resumable via --checkpoint",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint location (default: <output>/_checkpoint)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--show-text", metavar="URL", help="print one rendered doc")
@@ -233,6 +245,31 @@ def main() -> None:
             print(html_to_coloured(html, args.width, cmap, config))
         else:
             print(html_to_text(html, args.width, config))
+        return
+
+    if args.stream:
+        ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
+        if fmt == "warc":
+            from rust_html2text_spark.streaming.pipeline import (
+                start_warc_render_stream,
+            )
+
+            q = start_warc_render_stream(
+                spark, args.input, args.output, ckpt,
+                width=args.width, config_kwargs=config_kwargs,
+            )
+        else:
+            from rust_html2text_spark.streaming.pipeline import start_render_stream
+
+            q = start_render_stream(
+                spark, args.input, args.output, ckpt,
+                width=args.width, config_kwargs=config_kwargs,
+            )
+        q.processAllAvailable()
+        q.stop()
+        n = spark.read.parquet(args.output).count()
+        print({"streamed_rows_total": n, "checkpoint": ckpt})
+        spark.stop()
         return
 
     if args.explain:
