@@ -267,7 +267,10 @@ def main() -> None:
             )
         q.processAllAvailable()
         q.stop()
-        n = spark.read.parquet(args.output).count()
+        try:
+            n = spark.read.parquet(args.output).count()
+        except Exception:  # no files yet: empty input stream
+            n = 0
         print({"streamed_rows_total": n, "checkpoint": ckpt})
         spark.stop()
         return
