@@ -38,6 +38,22 @@ stats = render_pages(pages, width=80).agg(
     F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
 ).collect()[0]
 assert stats["n"] == 100 and stats["err"] == 0, stats
+
+# WARC ingest through real executors: write archives driver-side, read
+# them back distributed, render, and compare against the parquet path
+from rust_html2text_spark.sources.warc import read_warc_pages, write_warc_file
+rows = pages.collect()
+for part in range(2):
+    write_warc_file(
+        f"part-{{part}}.warc.gz",
+        [(r["url"], r["warc_ts"], bytes(r["html"])) for r in rows[part*50:(part+1)*50]],
+    )
+warc_pages = read_warc_pages(spark, os.path.join(os.getcwd(), "*.warc.gz"))
+wstats = render_pages(warc_pages, width=80).agg(
+    F.count("*").alias("n"),
+    F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
+).collect()[0]
+assert wstats["n"] == 100 and wstats["err"] == 0, wstats
 print("MULTI_EXECUTOR_OK")
 spark.stop()
 """
