@@ -311,6 +311,28 @@ def q_chunk_documents(spark, sf_dir):
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_domain_quality(spark, sf_dir):
+    """Per-domain render rollup (the report that feeds domain-level
+    blocklists: who contributes volume, errors, extracted bytes)."""
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    rendered = render_pages(load_pages(spark, sf_dir), width=WIDTH)
+    host = F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+    return (
+        rendered.select(host.alias("host"), "text_bytes", "error")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_errors"),
+            F.sum("text_bytes").cast("long").alias("text_bytes"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("host").asc())
+    )
+
+
 def q_curation_verdict(spark, sf_dir):
     """Composite keep/drop verdict with failure reasons (FineWeb-style)."""
     from rust_html2text_spark.functions.webtext import curation_verdict
@@ -616,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "dup_spans": q_dup_spans,
         "curation_verdict": q_curation_verdict,
+        "domain_quality": q_domain_quality,
     }
 
 
@@ -1261,6 +1284,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "domain_quality": f"""
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_errors,
+                   CAST(sum(text_bytes) AS BIGINT) AS text_bytes
+            FROM ({_RENDERED})
+            GROUP BY host
+            ORDER BY n_docs DESC, host ASC
         """,
         "curation_verdict": rf"""
             WITH t AS (
