@@ -347,6 +347,21 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_span_fraction(_docs(spark, sf_dir), k=8).orderBy("doc_id")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """The deduplicated corpus itself: one doc (the min doc_id) kept per
+    LSH duplicate cluster."""
+    from rust_html2text_spark.functions.dedup import (
+        dedup_by_components,
+        lsh_candidate_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(docs, num_hashes=4, band_size=2)
+    return dedup_by_components(docs.select("doc_id", "lang"), pairs).orderBy(
+        "doc_id"
+    )
+
+
 def q_token_rarity(spark, sf_dir):
     """Corpus-frequency rarity score (IDF-style, rational-exact)."""
     from rust_html2text_spark.functions.textstats import token_rarity
@@ -639,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "curation_verdict": q_curation_verdict,
         "domain_quality": q_domain_quality,
+        "dedup_corpus": q_dedup_corpus,
     }
 
 
@@ -1285,6 +1301,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
             ORDER BY event_type
         """,
+        "dedup_corpus": (
+            sigs_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+            + """, edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+                SELECT node AS doc_id, min(label) AS component_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id, d.lang FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM comp c
+                WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id
+            )
+            ORDER BY doc_id"""
+        ),
         "domain_quality": f"""
             SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
                    count(*) AS n_docs,

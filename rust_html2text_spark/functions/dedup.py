@@ -630,3 +630,16 @@ def duplicated_span_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def dedup_by_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize the deduplicated corpus: resolve candidate pairs into
+    connected components and keep exactly one document per cluster (the
+    minimum doc_id — deterministic at any parallelism).  The anti-join
+    removes only non-minimal cluster members, so rows untouched by any
+    pair pass through unshuffled except for the (small) losers side."""
+    comp = dup_components(pairs)
+    losers = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti")
