@@ -1002,6 +1002,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len({_DUCK_TOKENS}) AS n_tokens,
                    length(text) AS n_chars,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s'']+|''')
+                       ) AS n_bpe_tokens,
                    length(text) / 4.0 AS est_bpe_tokens
             FROM documents
         """,

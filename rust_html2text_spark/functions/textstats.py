@@ -20,12 +20,22 @@ def tokens_col(text_col="text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+# GPT-2-style pre-tokenizer, restricted to the RE2 ∩ Java-regex common
+# subset (no lookarounds, no \p classes): contraction suffixes, letter
+# runs, digit runs, non-space symbol runs.  Each match ≈ one BPE merge
+# input, so the count upper-bounds and tracks real BPE token counts far
+# better than chars/4.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s']+|'"
+
+
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace token counting (BPE-ish char/4 estimate alongside)."""
+    """Whitespace token counting, plus a BPE-ish regex pre-token count and
+    the crude char/4 estimate."""
     return docs.select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
         F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
         (F.length("text") / F.lit(4.0)).alias("est_bpe_tokens"),
     )
 
