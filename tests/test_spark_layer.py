@@ -774,3 +774,18 @@ def test_curation_verdict_reasons(spark):
         got[3].reasons.split(","),
         key=["too_short", "word_len", "symbol_ratio", "repetitive", "lang"].index,
     )
+
+
+def test_bpe_ish_token_count(spark):
+    """The BPE-ish regex count splits punctuation/contractions that
+    whitespace tokenization lumps together."""
+    from rust_html2text_spark.functions.textstats import token_count
+
+    df = spark.createDataFrame(
+        [(1, "it's done, v2.0 (finally)!")], "doc_id long, text string"
+    )
+    row = token_count(df).collect()[0]
+    # whitespace: ["it's", "done,", "v2.0", "(finally)!"] = 4
+    assert row.n_tokens == 4
+    # BPE-ish: it 's done , v 2 . 0 ( finally )! = 11
+    assert row.n_bpe_tokens == 11
