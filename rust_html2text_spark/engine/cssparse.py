@@ -92,7 +92,13 @@ def _parse_ident(text: str, pos: int):
             nxt = text[pos + 1]
             m = re.match(r"[0-9a-fA-F]{1,6}", text[pos + 1 :])
             if m:
-                out.append(chr(int(m.group(0), 16)))
+                # out-of-range / surrogate code points become U+FFFD
+                # (parser.rs:257 `char::from_u32(val).unwrap_or('\u{fffd}')`)
+                val = int(m.group(0), 16)
+                if val > 0x10FFFF or 0xD800 <= val <= 0xDFFF:
+                    out.append("�")
+                else:
+                    out.append(chr(val))
                 pos += 1 + m.end()
                 if pos < len(text) and text[pos] in " \t\n":
                     pos += 1

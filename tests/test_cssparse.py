@@ -121,3 +121,14 @@ def test_style_attribute():
         (S_COLOUR, (0xFF, 0, 0)),
         (S_DISPLAY, DISPLAY_NONE),
     ]
+
+
+def test_out_of_range_hex_escape_becomes_replacement_char():
+    """parser.rs:257: char::from_u32(val).unwrap_or(U+FFFD) — escapes above
+    0x10FFFF or in the surrogate range must not crash, they map to U+FFFD."""
+    from rust_html2text_spark.engine.cssparse import add_css
+
+    for css in ("\\aaaaaa { color: red }", "\\d800 { color: red }"):
+        rules = []
+        add_css(rules, css, allow_extensions=True)
+        assert len(rules) == 1

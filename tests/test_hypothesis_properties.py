@@ -89,3 +89,41 @@ def test_fast_tokenizer_matches_stdlib(soup):
         # fast=True).
         hypothesis.assume(False)
     assert dump(parse_html(soup, fast=True)) == expected
+
+
+_css_soup = st.lists(
+    st.sampled_from(
+        list("{}();:#.*>~[]=!'\" abcdef0-,%") + [
+            "color", "background-color", "display", "none", "x-raw-dom",
+            "white-space", "pre", "!important", "@media", "@import",
+            "rgb(", "#fff", "nth-child(", "odd", "even", "2n+1",
+            "x-syntax", "/*", "*/", "\\aaaaaa", "\\d800",
+        ]
+    ),
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_css_soup)
+def test_css_parser_never_crashes(css):
+    """Malformed CSS must be skipped, never raised (reference recovers by
+    dropping unparseable constructs)."""
+    from rust_html2text_spark.engine.cssparse import add_css
+
+    rules: list = []
+    add_css(rules, css, allow_extensions=True)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_css_soup, st.integers(min_value=3, max_value=30))
+def test_render_with_doc_css_never_crashes(css, width):
+    """A hostile <style> block under --css must never crash a render."""
+    from rust_html2text_spark.engine.api import Config
+
+    html = f"<style>{css}</style><p>body text</p>".encode()
+    try:
+        out = html_to_text(html, width, Config(use_doc_css=True))
+        assert isinstance(out, str)
+    except RenderError:
+        pass
