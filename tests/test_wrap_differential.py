@@ -152,19 +152,28 @@ def reference_add_text_pre(block: WrappedBlock, text: str, tag) -> None:
 
 
 def test_differential_pre_sametag():
+    from rust_html2text_spark.engine.errors import TooNarrow
+
     rng = random.Random(17)
-    pre_words = WORDS + ["\t", "\n", "   ", "a\tb", "x\n y", "\xa0\xa0"]
+    pre_words = WORDS + ["\t", "\n", "   ", "a\tb", "x\n y", "\xa0\xa0",
+                         "好好", "💡", "", "\u200b", "é̶", "\r"]
     for trial in range(400):
-        width = rng.choice([4, 8, 15, 40])
+        width = rng.choice([1, 2, 4, 8, 15, 40])
         pieces = [
             (
                 "".join(rng.choice(pre_words) for _ in range(rng.randint(1, 8))),
-                "t",
+                rng.choice("tu"),
             )
             for _ in range(rng.randint(1, 4))
         ]
-        fast = render_with(
-            lambda b, t, tg: b.add_text(t, WS_PRE, tg, tg), pieces, width
-        )
-        slow = render_with(reference_add_text_pre, pieces, width)
+
+        def outcome(fn):
+            # both paths must agree on TooNarrow as well as on lines
+            try:
+                return ("ok", render_with(fn, pieces, width))
+            except TooNarrow:
+                return ("too_narrow",)
+
+        fast = outcome(lambda b, t, tg: b.add_text(t, WS_PRE, tg, tg))
+        slow = outcome(reference_add_text_pre)
         assert fast == slow, (width, pieces)
