@@ -347,6 +347,13 @@ def q_dup_spans(spark, sf_dir):
     return duplicated_span_fraction(_docs(spark, sf_dir), k=8).orderBy("doc_id")
 
 
+def q_rolling_hash(spark, sf_dir):
+    """Rabin-Karp rolling-hash document fingerprint (HOF fold, no UDF)."""
+    from rust_html2text_spark.functions.textstats import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_dedup_corpus(spark, sf_dir):
     """The deduplicated corpus itself: one doc (the min doc_id) kept per
     LSH duplicate cluster."""
@@ -655,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_verdict": q_curation_verdict,
         "domain_quality": q_domain_quality,
         "dedup_corpus": q_dedup_corpus,
+        "rolling_hash": q_rolling_hash,
     }
 
 
@@ -1303,6 +1311,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "rolling_hash": r"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               string_split(
+                                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                                   ''),
+                               c -> CASE WHEN c = '' THEN 0
+                                         ELSE unicode(c) END)),
+                       (acc, c) -> (acc * 257 + c) % 1000000007
+                   ) AS rolling_hash
+            FROM documents WHERE text IS NOT NULL
+            ORDER BY doc_id
         """,
         "dedup_corpus": (
             sigs_cte.replace("WITH ", "WITH RECURSIVE ", 1)

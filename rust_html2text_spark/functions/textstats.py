@@ -151,3 +151,23 @@ def token_rarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def rolling_fingerprint(
+    docs: DataFrame, base: int = 257, mod: int = 1_000_000_007
+) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint over the normalized
+    text (whitespace-collapsed, lowercased): h = fold(h*base + codepoint)
+    mod a 31-bit prime.  Entirely a higher-order-function fold — no UDF,
+    no shuffle; unlike md5 it extends incrementally (h(doc+suffix) derives
+    from h(doc)), the property rolling fingerprints exist for."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    chars = F.split(normalized, "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", h.alias("rolling_hash")
+    )
