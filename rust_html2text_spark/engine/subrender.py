@@ -93,7 +93,10 @@ class LineSet:
 
     def cell_height(self) -> int:
         tot_lines = len(self.lines)
-        if self.rowspan == 1:
+        # rowspan <= 1 covers rowspan=0 too: the reference divides here
+        # unguarded (text_renderer.rs:1665-1677) and would panic on a
+        # crawl page with rowspan="0" — a crash, not semantics to match
+        if self.rowspan <= 1:
             return tot_lines
         return tot_lines // self.rowspan
 

@@ -75,3 +75,18 @@ def test_nbsp_foster_parented_from_table():
     out = html_to_text("<table>\xa0<tr><td>x</td></tr></table>".encode(), 80)
     assert out.startswith("\xa0\n")
     assert "x" in out
+
+
+def test_rowspan_zero_does_not_crash():
+    """rowspan="0" divides cell heights; the reference divides unguarded
+    (text_renderer.rs:1665-1677) and would panic — we render stably."""
+    from rust_html2text_spark.engine.api import html_to_text
+
+    html = (
+        b"<table><tr><td rowspan=0>a</td><td>b</td></tr>"
+        b"<tr><td>c</td></tr></table>"
+    )
+    out = html_to_text(html, 20)
+    assert "a" in out and "b" in out and "c" in out
+    # deterministic across calls
+    assert out == html_to_text(html, 20)
