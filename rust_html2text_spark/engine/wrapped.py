@@ -220,6 +220,13 @@ class WrappedBlock:
                         tag = main_tag
                     elif c == "\t":
                         self.flush_word()
+                        if self.width == 0:
+                            # zero-width target (a table cell squeezed out
+                            # by huge colspans): no space can ever fit, so
+                            # the reference's loop below never terminates
+                            # (text_renderer.rs:759-773 spins forever — a
+                            # hang on hostile crawl input, not semantics).
+                            continue
                         tab_stop = 8
                         pos = self.line.len + self.wordlen + self.wslen
                         at_least_one_space = False
@@ -380,6 +387,10 @@ class WrappedBlock:
                 self.pre_wrapped = False
             elif c == "\t":
                 self.flush_word()
+                if width == 0:
+                    # zero-width target: see the per-char tab branch — the
+                    # unguarded loop never terminates at width 0
+                    continue
                 pos = self.line.len + self.wordlen + self.wslen
                 at_least_one_space = False
                 while pos % 8 != 0 or not at_least_one_space:

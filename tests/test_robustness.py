@@ -90,3 +90,23 @@ def test_rowspan_zero_does_not_crash():
     assert "a" in out and "b" in out and "c" in out
     # deterministic across calls
     assert out == html_to_text(html, 20)
+
+
+def test_tab_at_zero_width_terminates():
+    """A <pre> tab inside a table cell squeezed to zero width by huge
+    colspans hit an unguarded tab-expansion loop (the reference's
+    text_renderer.rs:759-773 spins forever on the same input).  Both the
+    per-char and bulk pre paths must terminate."""
+    from rust_html2text_spark.engine.api import html_to_lines, html_to_text
+
+    html = (
+        b'<table><tr><th colspan="x">xx</th></tr>'
+        b'<tr><th colspan="" rowspan="3"> </th><th colspan="65535">  </th></tr>'
+        b'<tr><td colspan="65535"> </td>'
+        b'<td colspan="999999999" rowspan="2"><blockquote><pre>\t</pre>'
+        b"</blockquote></td><td></td></tr></table>"
+    )
+    out = html_to_text(html, 30)  # plain decorator: bulk pre path
+    assert isinstance(out, str)
+    lines = html_to_lines(html, 30)  # rich decorator: per-char path
+    assert len(lines) > 0
