@@ -51,11 +51,101 @@ def _parse_warc_headers(raw: bytes) -> dict[str, str]:
 
 def _split_http_payload(block: bytes) -> bytes:
     """An application/http;msgtype=response block is status-line + headers +
-    CRLFCRLF + payload; return the payload (the html bytes)."""
+    CRLFCRLF + payload; return the decoded payload (the html bytes).
+
+    Real Common Crawl response records carry HTTP framing on the body:
+    `Transfer-Encoding: chunked` (hex chunk-size lines interleaved with the
+    data) and/or `Content-Encoding: gzip|deflate|br`.  Both must be undone
+    before the bytes are HTML; a malformed encoding degrades to the framed
+    body as-is (lossy but never task-fatal)."""
+    payload, _err = _decode_http_payload(block)
+    return payload
+
+
+def _parse_http_headers(raw: bytes) -> dict[str, str]:
+    """Lower-cased header dict from the HTTP header block (status line
+    skipped; duplicate headers comma-joined, per RFC 9110 §5.2)."""
+    headers: dict[str, str] = {}
+    for line in raw.split(b"\r\n")[1:]:
+        if b":" not in line:
+            continue
+        k, _, v = line.partition(b":")
+        key = k.strip().decode("ascii", "replace").lower()
+        val = v.strip().decode("latin-1", "replace")
+        headers[key] = headers[key] + ", " + val if key in headers else val
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked framing (RFC 9112 §7.1).  Raises
+    ValueError on malformed/truncated framing."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size = int(body[pos:nl].split(b";")[0].strip() or b"x", 16)
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)  # trailer section (if any) is discarded
+        if pos + size > len(body):
+            raise ValueError("truncated chunk data")
+        out += body[pos : pos + size]
+        pos += size + 2  # chunk data + trailing CRLF
+        if pos > len(body):
+            raise ValueError("missing chunk CRLF")
+
+
+def _decompress_content(body: bytes, encoding: str) -> bytes:
+    """Undo Content-Encoding.  Raises ValueError on unknown/undecodable."""
+    codings = [c.strip() for c in encoding.lower().split(",") if c.strip()]
+    # applied in reverse order of the header (last coding applied last)
+    for coding in reversed(codings):
+        if coding in ("gzip", "x-gzip", "deflate", "x-deflate"):
+            try:
+                # wbits=47: auto-detect gzip or zlib wrapper
+                body = zlib.decompress(body, wbits=47)
+            except zlib.error:
+                try:
+                    # many servers send raw deflate despite the spec
+                    body = zlib.decompress(body, wbits=-15)
+                except zlib.error as e:
+                    raise ValueError(f"undecodable {coding} body: {e}")
+        elif coding == "br":
+            try:
+                import brotli  # not in the baked image; gated
+            except ImportError:
+                raise ValueError("brotli not available")
+            try:
+                body = brotli.decompress(body)
+            except Exception as e:  # brotli.error
+                raise ValueError(f"undecodable br body: {e}")
+        elif coding == "identity":
+            continue
+        else:
+            raise ValueError(f"unknown content-encoding {coding!r}")
+    return body
+
+
+def _decode_http_payload(block: bytes) -> tuple[bytes, str | None]:
+    """(payload, ingest_error) — de-frame and decode an HTTP response block.
+    On any malformed encoding the framed body is returned as-is with an
+    error marker, so one hostile record never kills an ingest task."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return block  # not http-framed (e.g. a conversion record): raw block
-    return block[sep + 4 :]
+        return block, None  # not http-framed (e.g. conversion record)
+    headers = _parse_http_headers(block[:sep])
+    body = block[sep + 4 :]
+    try:
+        if "chunked" in headers.get("transfer-encoding", "").lower():
+            body = _dechunk(body)
+        ce = headers.get("content-encoding", "")
+        if ce and ce.lower() not in ("identity",):
+            body = _decompress_content(body, ce)
+        return body, None
+    except ValueError as e:
+        return block[sep + 4 :], str(e)
 
 
 def _parse_warc_date(value: str) -> datetime | None:
@@ -99,6 +189,11 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
             length = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if length < 0:
+            # hostile/corrupt: a negative length would move pos backwards
+            # (bytearray.find clamps negative starts to 0) and re-parse the
+            # same header forever — treat as corrupt and stop this file
+            return
         body_start = end + 4
         need = body_start + length + 4  # block + closing CRLFCRLF
         while len(buf) < need and not eof:
@@ -111,7 +206,10 @@ def iter_warc_records(chunks: Iterable[bytes]) -> Iterator[tuple[dict, bytes]]:
             return  # truncated final record
         block = bytes(buf[body_start : body_start + length])
         yield headers, block
-        pos = min(body_start + length + 4, len(buf))
+        new_pos = min(body_start + length + 4, len(buf))
+        if new_pos <= pos:
+            return  # defensive: never re-scan the same bytes (no livelock)
+        pos = new_pos
         # drop consumed bytes so memory stays O(record), not O(file)
         if pos > (1 << 22):
             del buf[:pos]
@@ -260,25 +358,63 @@ def read_warc_pages(
 # -- the writer (tests / local round-trips) ----------------------------------
 
 
+def _chunked_frame(body: bytes, chunk_size: int = 64) -> bytes:
+    """Apply Transfer-Encoding: chunked framing (deterministic fixed-size
+    chunks so round-trip tests are byte-stable)."""
+    out = bytearray()
+    for i in range(0, len(body), chunk_size):
+        piece = body[i : i + chunk_size]
+        out += b"%x\r\n" % len(piece) + piece + b"\r\n"
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
 def write_warc_file(
     path: str,
     records: Iterable[tuple[str, datetime | None, bytes]],
     gzip_members: bool = True,
+    http_encoding: str | None = None,
 ) -> int:
     """Write (url, warc_ts, html) records as a WARC file, one gzip member
     per record (Common Crawl layout).  Deterministic output: record ids
-    derive from md5(url), gzip mtime pinned to 0.  Returns record count."""
+    derive from md5(url), gzip mtime pinned to 0.  Returns record count.
+
+    `http_encoding` emits the HTTP body with real-crawl framings so the
+    reader's decode path can be round-trip tested:
+      None       — plain body (Content-Length only)
+      "gzip"     — Content-Encoding: gzip
+      "chunked"  — Transfer-Encoding: chunked
+      "gzip+chunked" — gzip content coding, then chunked transfer framing
+      (the on-the-wire order real servers use: TE applied after CE)."""
     import gzip as gzipmod
+
+    if http_encoding not in (None, "gzip", "chunked", "gzip+chunked"):
+        raise ValueError(f"unknown http_encoding {http_encoding!r}")
 
     n = 0
     with open(path, "wb") as fh:
         for url, ts, html in records:
             date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
             rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+            body = html
+            enc_headers = b""
+            if http_encoding in ("gzip", "gzip+chunked"):
+                body = gzipmod.compress(body, mtime=0)
+                enc_headers += b"Content-Encoding: gzip\r\n"
+            if http_encoding in ("chunked", "gzip+chunked"):
+                body = _chunked_frame(body)
+                enc_headers += b"Transfer-Encoding: chunked\r\n"
+            else:
+                # Content-Length is forbidden alongside chunked (RFC 9112
+                # §6.2); the WARC record's own Content-Length frames the
+                # block either way
+                enc_headers += b"Content-Length: " + str(len(body)).encode() + b"\r\n"
             http = (
                 b"HTTP/1.1 200 OK\r\n"
                 b"Content-Type: text/html; charset=UTF-8\r\n"
-                b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+                + enc_headers
+                + b"\r\n"
+                + body
             )
             header = (
                 "WARC/1.0\r\n"

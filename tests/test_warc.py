@@ -239,3 +239,188 @@ def test_fuzz_roundtrip_random_payloads(tmp_path):
     for size in (1, 7, 4096, len(raw)):
         got = list(_iter_warc_pages(chunks(size), ("response",)))
         assert got == recs, f"chunk size {size}"
+
+
+# -- HTTP payload encodings (round 4) -----------------------------------------
+# Real Common Crawl response records carry Transfer-Encoding: chunked and
+# Content-Encoding: gzip/deflate on the HTTP body; the reader must undo both.
+
+
+def _enc_records(n=6):
+    return [
+        (
+            f"https://enc.example.com/{i}",
+            datetime(2026, 2, 1, 0, 0, i),
+            (
+                f"<html><body><h1>Doc {i}</h1><p>"
+                + "lorem ipsum dolor sit amet " * (i + 1)
+                + "</p></body></html>"
+            ).encode(),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("http_encoding", ["chunked", "gzip", "gzip+chunked"])
+@pytest.mark.parametrize("gz_members", [True, False])
+def test_roundtrip_http_encodings(tmp_path, http_encoding, gz_members):
+    recs = _enc_records()
+    path = str(tmp_path / f"e.warc{'.gz' if gz_members else ''}")
+    write_warc_file(path, recs, gzip_members=gz_members, http_encoding=http_encoding)
+    raw = open(path, "rb").read()
+    if http_encoding != "chunked" and not gz_members:
+        # the html must actually be compressed on the wire, not passthrough
+        assert recs[0][2] not in raw
+    assert list(iter_warc_file(path)) == recs
+
+
+def test_chunked_framing_visible_on_wire(tmp_path):
+    path = str(tmp_path / "c.warc")
+    write_warc_file(path, _enc_records(1), gzip_members=False, http_encoding="chunked")
+    raw = open(path, "rb").read()
+    assert b"Transfer-Encoding: chunked" in raw
+    assert b"\r\n0\r\n\r\n" in raw  # terminal zero-size chunk
+    # chunked responses must not carry an inner HTTP Content-Length
+    body = raw.split(b"HTTP/1.1 200 OK", 1)[1]
+    assert b"Content-Length" not in body.split(b"\r\n\r\n", 1)[0]
+
+
+def test_dechunk_unit():
+    from rust_html2text_spark.sources.warc import _chunked_frame, _dechunk
+
+    for payload in (b"", b"x", b"hello world" * 100):
+        for size in (1, 3, 64, 4096):
+            assert _dechunk(_chunked_frame(payload, size)) == payload
+    # chunk extensions after ';' are ignored (RFC 9112 §7.1.1)
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\n\r\n") == b"hello"
+    with pytest.raises(ValueError):
+        _dechunk(b"5\r\nhel")  # truncated chunk data
+    with pytest.raises(ValueError):
+        _dechunk(b"zz\r\nhello\r\n0\r\n\r\n")  # non-hex size line
+
+
+def test_malformed_encoding_degrades_not_fatal(tmp_path):
+    """A record whose body claims chunked/gzip but is garbage must degrade
+    to the raw framed body; later records still parse."""
+    from rust_html2text_spark.sources.warc import _decode_http_payload
+
+    bad_chunked = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"ffff\r\n<p>truncated"
+    )
+    payload, err = _decode_http_payload(bad_chunked)
+    assert payload == b"ffff\r\n<p>truncated" and err is not None
+
+    bad_gzip = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        b"not actually gzip bytes"
+    )
+    payload, err = _decode_http_payload(bad_gzip)
+    assert payload == b"not actually gzip bytes" and err is not None
+
+    unknown = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nZSTDBYTES"
+    )
+    payload, err = _decode_http_payload(unknown)
+    assert payload == b"ZSTDBYTES" and "zstd" in err
+
+    # a whole file: one malformed record between two good ones
+    good = _enc_records(2)
+    path = str(tmp_path / "mix.warc")
+    write_warc_file(path, [good[0]], gzip_members=False)
+    evil_http = bad_chunked
+    evil = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:deadbeef>\r\n"
+        "WARC-Target-URI: https://enc.example.com/evil\r\n"
+        "WARC-Date: 2026-02-01T00:00:30Z\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(evil_http)}\r\n\r\n"
+    ).encode() + evil_http + b"\r\n\r\n"
+    with open(path, "ab") as fh:
+        fh.write(evil)
+    with open(str(tmp_path / "tail.warc"), "wb") as fh2:
+        pass
+    write_warc_file(str(tmp_path / "tail.warc"), [good[1]], gzip_members=False)
+    with open(path, "ab") as fh:
+        fh.write(open(str(tmp_path / "tail.warc"), "rb").read())
+    got = list(iter_warc_file(path))
+    assert [u for u, _, _ in got] == [
+        good[0][0],
+        "https://enc.example.com/evil",
+        good[1][0],
+    ]
+    assert got[0][2] == good[0][2] and got[2][2] == good[1][2]
+    assert got[1][2] == b"ffff\r\n<p>truncated"  # degraded, not dropped
+
+
+def test_deflate_content_encoding():
+    """Both zlib-wrapped and raw-deflate bodies decode (servers send both)."""
+    import zlib as z
+
+    from rust_html2text_spark.sources.warc import _decode_http_payload
+
+    html = b"<p>deflated</p>"
+    raw_obj = z.compressobj(wbits=-15)
+    raw_deflate = raw_obj.compress(html) + raw_obj.flush()
+    for body in (z.compress(html), raw_deflate):
+        blk = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
+        payload, err = _decode_http_payload(blk)
+        assert (payload, err) == (html, None)
+
+
+def test_negative_content_length_terminates():
+    """ADVICE(high): a negative Content-Length must not livelock the parser
+    or emit unbounded duplicate records."""
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://h.com/neg\r\n"
+        b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        b"Content-Length: -5\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\n<p>x</p>\r\n\r\n"
+    )
+    got = list(iter_warc_records([rec]))
+    assert got == []  # corrupt record: stop the file, never loop
+    # and a good record before it still parses
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://h.com/ok\r\n"
+        b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+        b"Content-Length: 8\r\n\r\n"
+        b"<p>y</p>\r\n\r\n"
+    )
+    got = list(iter_warc_records([good + rec]))
+    assert len(got) == 1 and got[0][0]["warc-target-uri"] == "https://h.com/ok"
+
+
+def test_spark_render_parity_over_encoded_warc(spark, tmp_path):
+    """The north-rule invariant (byte-identical text per url) must hold when
+    pages arrive as gzip+chunked WARC archives."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    pages = load_pages(spark, SF_DIR).limit(40)
+    rows = pages.collect()
+    for part in range(2):
+        write_warc_file(
+            str(tmp_path / f"enc-{part}.warc.gz"),
+            [
+                (r["url"], r["warc_ts"], bytes(r["html"]))
+                for r in rows[part * 20 : (part + 1) * 20]
+            ],
+            http_encoding="gzip+chunked",
+        )
+    warc_df = read_warc_pages(spark, str(tmp_path / "*.warc.gz"))
+    parquet_text = {
+        r["url"]: r["text"]
+        for r in render_pages(pages, width=80).filter(F.col("error").isNull()).collect()
+    }
+    warc_text = {
+        r["url"]: r["text"]
+        for r in render_pages(warc_df, width=80)
+        .filter(F.col("error").isNull())
+        .collect()
+    }
+    assert warc_text == parquet_text and len(warc_text) == 40
