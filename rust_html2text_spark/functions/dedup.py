@@ -16,6 +16,8 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import math
+import warnings
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -309,9 +311,15 @@ def simhash_near_dups(
     `persist_signatures=True` caches the signature frame so it runs once,
     at the cost of writing/reading the cache.  Measured at 125k short
     docs the two break even (the banded join dominates); the flag pays
-    off when documents are long enough that hashing outweighs the join —
-    caller unpersists via the returned frame's lineage or a fresh
-    sparkSession.catalog.clearCache()."""
+    off when documents are long enough that hashing outweighs the join.
+    With the flag set the result is eagerly materialized (localCheckpoint)
+    so the signature cache can be released before returning — no cache
+    entry leaks to the caller.
+
+    Scale guard: when the banding yields bands narrower than 16 bits
+    (max_hamming > 3 ⇒ < 65k buckets per band) and no `max_bucket` cap is
+    set, a RuntimeWarning fires — at crawl scale such buckets hold ~n/2^w
+    docs each and the banded self-join degenerates toward quadratic."""
     # Drop NULL-text docs BEFORE the UDF (the predicate reaches the parquet
     # scan), and wrap the UDF in coalesce(..., 0) — a no-op on non-null text
     # — so the simhash column is provably non-nullable.  Any nullable UDF
@@ -325,6 +333,16 @@ def simhash_near_dups(
     if persist_signatures:
         s = s.persist()
     widths = simhash_band_widths(max_hamming)
+    if min(widths) < 16 and max_bucket is None:
+        warnings.warn(
+            f"simhash_near_dups: max_hamming={max_hamming} gives bands of "
+            f"{min(widths)} bits (only {1 << min(widths)} buckets per band) "
+            f"— expected bucket size is n/2^{min(widths)}, hostile at crawl "
+            f"scale. Set max_bucket to bound the banded join, or lower "
+            f"max_hamming to ≤3 (16-bit bands).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # One-pass banding: explode an array of (band, band_key) structs so the
     # simhash UDF is evaluated once per join side instead of once per band
     # per side (the union-per-band form put 2*B ArrowEvalPython nodes in the
@@ -371,7 +389,13 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    result = cand.filter(F.col("hamming") <= max_hamming)
+    if persist_signatures:
+        # eager materialization lets us release the signature cache here
+        # instead of leaking the entry for the caller to hunt down
+        result = result.localCheckpoint()
+        s.unpersist()
+    return result
 
 
 # -- incremental cross-snapshot dedup (Bloom pre-filter + exact confirm) ------
@@ -388,31 +412,69 @@ def _bloom_positions(value: str, num_bits: int, num_hashes: int) -> list[int]:
     ]
 
 
-def bloom_build(
-    df: DataFrame, key_col: str = "url", num_bits: int = 1 << 20, num_hashes: int = 4
-) -> bytes:
-    """Distributed Bloom-filter build: each partition builds a local numpy
-    bitmap (mapInPandas), the driver ORs the per-partition bitmaps.
+def _reduced_bitmap_frame(
+    df: DataFrame, key_col: str, nb: int, k: int
+) -> DataFrame:
+    """Per-partition Bloom bitmaps, tree-reduced so the driver collects
+    O(√P) rows instead of P.  Level 1: mapInPandas builds one bitmap per
+    input partition.  Level 2 (only when P > 4): repartition the bitmap
+    rows to ⌈√P⌉ and OR within each partition — executors absorb the P-way
+    fan-in, the driver sees at most ⌈√P⌉ bitmaps.  At 100k input files and
+    a 1 MiB filter that is ~316 MB of driver traffic instead of ~12 GB."""
 
-    Driver traffic is num_partitions × num_bits/8 bytes — size num_bits for
-    the snapshot's cardinality (~10 bits/key for ~1% FP; false positives
-    only cost extra rows in the exact confirm join, never correctness)."""
-    nb, k = int(num_bits), int(num_hashes)
-    if nb % 8:
-        raise ValueError("num_bits must be a multiple of 8")
+    def or_partition(batches, column):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros(nb // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            for b in pdf[column]:
+                if b is None:
+                    continue
+                acc |= np.frombuffer(bytes(b), dtype=np.uint8)
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bitmap": [acc.tobytes()]})
 
     def build(batches):
         import numpy as np
         import pandas as pd
 
         bitmap = np.zeros(nb // 8, dtype=np.uint8)
+        seen = False
         for pdf in batches:
             for v in pdf[key_col].dropna():
+                seen = True
                 for pos in _bloom_positions(str(v), nb, k):
                     bitmap[pos >> 3] |= 1 << (pos & 7)
-        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+        if seen:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    rows = df.select(key_col).mapInPandas(build, "bitmap binary").collect()
+    bitmaps = df.select(key_col).mapInPandas(build, "bitmap binary")
+    p = df.rdd.getNumPartitions()
+    if p > 4:
+        fanin = max(1, math.isqrt(p))
+        bitmaps = bitmaps.repartition(fanin).mapInPandas(
+            lambda it: or_partition(it, "bitmap"), "bitmap binary"
+        )
+    return bitmaps
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "url", num_bits: int = 1 << 20, num_hashes: int = 4
+) -> bytes:
+    """Distributed Bloom-filter build: each partition builds a local numpy
+    bitmap (mapInPandas); bitmaps are OR-reduced in a two-level tree so the
+    driver receives O(√P) of them, then ORs that handful.
+
+    Size num_bits for the snapshot's cardinality (~10 bits/key for ~1% FP;
+    false positives only cost extra rows in the exact confirm join, never
+    correctness)."""
+    nb, k = int(num_bits), int(num_hashes)
+    if nb % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+    rows = _reduced_bitmap_frame(df, key_col, nb, k).collect()
     import numpy as np
 
     out = np.zeros(nb // 8, dtype=np.uint8)
@@ -469,7 +531,12 @@ def new_keys_vs_snapshot(
     bloom = bloom_build(snapshot, key_col, num_bits, num_hashes)
     probe = bloom_probe_udf(bloom, num_hashes)
     probed = corpus.withColumn("_maybe_seen", probe(F.col(key_col)))
-    definitely_new = probed.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    # NULL-key rows route to definitely-new: the probe returns NULL for
+    # them, and a plain anti-join keeps NULL keys (NULL never equals a
+    # join key) — the Bloom path must match that semantics exactly
+    definitely_new = probed.filter(
+        F.col("_maybe_seen").isNull() | ~F.col("_maybe_seen")
+    ).drop("_maybe_seen")
     candidates = probed.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = candidates.join(
         snapshot.select(key_col).distinct(), key_col, "left_anti"
@@ -546,6 +613,15 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        warnings.warn(
+            f"dup_components: label propagation still changing after "
+            f"{max_iterations} rounds ({changed} labels moved last round) — "
+            f"returned components are UNDER-MERGED; raise max_iterations "
+            f"(rounds needed ≈ log2(graph diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

@@ -789,3 +789,129 @@ def test_bpe_ish_token_count(spark):
     assert row.n_tokens == 4
     # BPE-ish: it 's done , v 2 . 0 ( finally )! = 11
     assert row.n_bpe_tokens == 11
+
+
+def test_bloom_build_tree_reduction(spark):
+    """The bitmap fan-in to the driver must be O(sqrt(P)), and the tree-
+    reduced filter must be bit-identical to a flat single-partition build
+    (VERDICT r3 #2: at 100k files a flat collect is ~12 GB through the
+    driver)."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.dedup import (
+        _reduced_bitmap_frame,
+        bloom_build,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("key"))
+        .repartition(64)  # forced-many-partition input
+    )
+    reduced = _reduced_bitmap_frame(docs, "key", 1 << 13, 4)
+    n_collected = reduced.count()
+    assert n_collected <= 8, f"driver sees {n_collected} bitmaps for P=64"
+    tree = bloom_build(docs, "key", num_bits=1 << 13)
+    flat = bloom_build(docs.coalesce(1), "key", num_bits=1 << 13)
+    assert tree == flat
+
+
+def test_new_keys_vs_snapshot_null_keys(spark):
+    """ADVICE(medium): NULL-key corpus rows must be kept (a plain anti-join
+    keeps them — NULL never matches a join key), not silently dropped by
+    the Bloom routing."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.dedup import new_keys_vs_snapshot
+
+    corpus = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "c")], "doc_id long, key string"
+    )
+    snapshot = spark.createDataFrame([("a",), ("c",)], "key string")
+    got = {r.doc_id for r in new_keys_vs_snapshot(corpus, snapshot, "key").collect()}
+    expect = {
+        r.doc_id for r in corpus.join(snapshot, "key", "left_anti").collect()
+    }
+    assert got == expect == {2, 3, 4}
+
+
+def test_dup_components_warns_on_non_convergence(spark):
+    """ADVICE(low): exhausting max_iterations with labels still moving must
+    warn (under-merged clustering), and enough rounds must converge a long
+    chain silently."""
+    import warnings as w
+
+    from rust_html2text_spark.functions.dedup import dup_components
+
+    # chain 0-1-2-...-19: diameter 19, needs ~log2 rounds via pointer jumping
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        partial = dup_components(pairs, max_iterations=1)
+        partial.collect()
+        assert any("UNDER-MERGED" in str(c.message) for c in caught)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        full = dup_components(pairs, max_iterations=25).collect()
+        assert not any("UNDER-MERGED" in str(c.message) for c in caught)
+    assert {(r.doc_id, r.component_id) for r in full} == {
+        (i, 0) for i in range(20)
+    }
+
+
+def test_simhash_persist_releases_cache(spark):
+    """ADVICE(low): persist_signatures=True must not leak a cache entry the
+    caller cannot unpersist."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.dedup import simhash_near_dups
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(80)
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    cached = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dups(
+            docs, max_hamming=3, persist_signatures=True
+        ).collect()
+    }
+    assert cached == plain
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # the one allowed survivor is the localCheckpoint of the RESULT (it
+    # lives exactly as long as the returned frame and is cleaned with it);
+    # the signature persist() itself must be gone
+    assert after <= before + 1, "persist_signatures leaked a cache entry"
+
+
+def test_simhash_scale_default_guard(spark):
+    """VERDICT r3 #4: narrow bands (max_hamming>3) without a max_bucket cap
+    must emit a loud warning; capped or wide-band calls stay silent."""
+    import warnings as w
+
+    from rust_html2text_spark.functions.dedup import simhash_near_dups
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        simhash_near_dups(docs, max_hamming=8)
+        assert any("hostile at crawl scale" in str(c.message) for c in caught)
+    for kwargs in ({"max_hamming": 8, "max_bucket": 500}, {"max_hamming": 3}):
+        with w.catch_warnings(record=True) as caught:
+            w.simplefilter("always")
+            simhash_near_dups(docs, **kwargs)
+            assert not any(
+                "hostile at crawl scale" in str(c.message) for c in caught
+            ), kwargs
