@@ -121,26 +121,42 @@ def chunk_documents(
     stride: int = 512,
     key_col: str = "doc_id",
     text_col: str = "text",
+    outlier_tokens: int = 8192,
 ) -> DataFrame:
     """Split documents into fixed-token chunks for context-window
     construction; stride < chunk_tokens gives overlapping chunks (the
-    standard sliding-window pretraining shape).
+    standard sliding-window pretraining shape).  The final (possibly
+    short) chunk starts at the last stride boundary that still contains
+    unseen tokens.
 
-    Entirely narrow, whole-stage-codegen expressions (split + sequence
-    explode + slice) — no shuffle, no UDF: the op scales as a pure map
-    over the corpus.  The final (possibly short) chunk starts at the last
-    stride boundary that still contains unseen tokens.
+    Two lanes, one result (mirrors render's oversized-outlier routing):
+    - docs ≤ `outlier_tokens` tokens: narrow whole-stage-codegen
+      expressions (split + sequence explode + slice) — no shuffle, no
+      UDF.  The explode duplicates the full token array into every chunk
+      row before the slice, so per-doc intermediate memory is
+      ~n²/stride tokens; the threshold bounds that to
+      outlier_tokens²/stride (default 8192² / 512 = 128k tokens).
+    - docs above it (the <<1% crawl tail: concatenated logs, book dumps)
+      stream through a mapInPandas chunker that slices the token list
+      in place and emits chunk batches — O(n) per doc, no duplication,
+      so a single 10M-token doc cannot OOM its task.
+    Both lanes implement identical tokenization (Java \\s semantics) and
+    chunk math; the union is the whole corpus.
 
     Returns (key, chunk_id, chunk_text, n_tokens).
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if outlier_tokens < chunk_tokens:
+        raise ValueError("outlier_tokens must be >= chunk_tokens")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.floor((n - chunk_tokens + stride - 1) / stride) + 1
     )
-    base = docs.filter(F.col(text_col).isNotNull()).select(
+    nonnull = docs.filter(F.col(text_col).isNotNull())
+
+    base = nonnull.filter(n <= outlier_tokens).select(
         F.col(key_col),
         toks.alias("_toks"),
         n.alias("_n"),
@@ -149,7 +165,7 @@ def chunk_documents(
         ),
     )
     start = (F.col("chunk_id") * stride).cast("int")
-    return base.select(
+    small = base.select(
         key_col,
         "chunk_id",
         F.array_join(F.slice("_toks", start + 1, chunk_tokens), " ").alias(
@@ -159,3 +175,64 @@ def chunk_documents(
         .cast("long")
         .alias("n_tokens"),
     )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, docs.schema[key_col].dataType),
+            StructField("chunk_id", LongType()),
+            StructField("chunk_text", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    ct, st = int(chunk_tokens), int(stride)
+
+    def chunk_big(batches):
+        import re
+
+        import pandas as pd
+
+        # Java-regex \s ([ \t\n\x0B\f\r]) and Spark trim (space only), so
+        # both lanes tokenize identically down to hostile whitespace
+        split_re = re.compile("[ \t\n\x0b\f\r]+")
+        out_keys, out_ids, out_texts, out_ns = [], [], [], []
+
+        def flush():
+            nonlocal out_keys, out_ids, out_texts, out_ns
+            pdf = pd.DataFrame(
+                {
+                    key_col: out_keys,
+                    "chunk_id": out_ids,
+                    "chunk_text": out_texts,
+                    "n_tokens": out_ns,
+                }
+            )
+            out_keys, out_ids, out_texts, out_ns = [], [], [], []
+            return pdf
+
+        for pdf in batches:
+            for key, text in zip(pdf[key_col], pdf[text_col]):
+                tokens = split_re.split(text.strip(" "))
+                nt = len(tokens)
+                if nt <= ct:
+                    count = 1
+                else:
+                    count = (nt - ct + st - 1) // st + 1
+                for cid in range(count):
+                    s = cid * st
+                    out_keys.append(key)
+                    out_ids.append(cid)
+                    out_texts.append(" ".join(tokens[s : s + ct]))
+                    out_ns.append(min(ct, nt - s))
+                    if len(out_keys) >= 2048:
+                        yield flush()
+        if out_keys:
+            yield flush()
+
+    big = (
+        nonnull.filter(n > outlier_tokens)
+        .select(key_col, text_col)
+        .mapInPandas(chunk_big, out_schema)
+    )
+    return small.unionByName(big)
