@@ -692,6 +692,52 @@ def _stopword_hits_sql(words: list[str]) -> str:
     )
 
 
+def _lang_hits_sql() -> dict[str, str]:
+    """Per-language vote SQL, mirroring textstats.lang_hits_cols exactly:
+    stopword token votes for word-token languages, function-character
+    occurrence counts for zh/ja."""
+    from rust_html2text_spark.functions.textstats import (
+        LANG_CHAR_CLASSES,
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    hits = {}
+    for lang in LANG_PRIORITY:
+        if lang in LANG_STOPWORDS:
+            hits[lang] = _stopword_hits_sql(LANG_STOPWORDS[lang])
+        else:
+            chars = LANG_CHAR_CLASSES[lang]
+            hits[lang] = f"length(regexp_replace(text, '[^{chars}]', '', 'g'))"
+    return hits
+
+
+def _lang_hits_select_sql() -> str:
+    from rust_html2text_spark.functions.textstats import LANG_PRIORITY
+
+    hits = _lang_hits_sql()
+    return ",\n                   ".join(
+        f"{hits[lang]} AS {lang}_hits" for lang in LANG_PRIORITY
+    )
+
+
+def _pred_lang_case_sql() -> str:
+    """The vote-argmax CASE chain, mirroring textstats.pred_lang_col
+    (ties go to the earlier language in LANG_PRIORITY)."""
+    from rust_html2text_spark.functions.textstats import LANG_PRIORITY
+
+    hits = _lang_hits_sql()
+    clauses = []
+    for i, li in enumerate(LANG_PRIORITY[:-1]):
+        cond = " AND ".join(
+            f"{hits[li]} >= {hits[lj]}" for lj in LANG_PRIORITY[i + 1 :]
+        )
+        clauses.append(f"WHEN {cond} THEN '{li}'")
+    return (
+        "CASE " + " ".join(clauses) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    )
+
+
 # md5(token) first 8 bytes, big-endian — identical to Python's
 # int.from_bytes(md5(tok).digest()[:8], 'big') used by simhash_py.
 _DUCK_TOK_HASH = "CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)"
@@ -854,9 +900,7 @@ def oracle_sql() -> dict[str, str]:
                             len({_DUCK_TOKENS}) AS n_tokens,
                             round((length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)) * 0.5
                                 + ({en} * 1.0 / len({_DUCK_TOKENS})) * 0.5, 6) AS quality,
-                            CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
-                                 WHEN {de} >= {fr} THEN 'de'
-                                 ELSE 'fr' END AS pred_lang
+                            {_pred_lang_case_sql()} AS pred_lang
                      FROM r),
                  kept AS (
                      SELECT url, text, n_tokens, quality,
@@ -1029,12 +1073,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": f"""
             SELECT doc_id,
-                   {en} AS en_hits,
-                   {de} AS de_hits,
-                   {fr} AS fr_hits,
-                   CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
-                        WHEN {de} >= {fr} THEN 'de'
-                        ELSE 'fr' END AS pred_lang
+                   {_lang_hits_select_sql()},
+                   {_pred_lang_case_sql()} AS pred_lang
             FROM documents
         """,
         "doc_fingerprint": r"""
@@ -1363,9 +1403,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text,
                        regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
                        length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
-                       CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en'
-                            WHEN {de} >= {fr} THEN 'de'
-                            ELSE 'fr' END AS pred_lang
+                       {_pred_lang_case_sql()} AS pred_lang
                 FROM documents WHERE text IS NOT NULL
             ), m AS (
                 SELECT doc_id, pred_lang,

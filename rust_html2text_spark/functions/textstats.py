@@ -14,6 +14,33 @@ from pyspark.sql import DataFrame, functions as F
 EN_STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 DE_STOPWORDS = ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"]
 FR_STOPWORDS = ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"]
+ES_STOPWORDS = ["el", "que", "los", "se", "con", "por", "una", "para", "las", "está"]
+IT_STOPWORDS = ["che", "di", "il", "non", "per", "sono", "gli", "questo", "della", "anche"]
+PT_STOPWORDS = ["não", "uma", "você", "são", "mas", "isso", "ele", "muito", "dos", "mais"]
+NL_STOPWORDS = ["het", "een", "niet", "van", "ik", "dat", "maar", "zijn", "voor", "met"]
+RU_STOPWORDS = ["и", "в", "не", "на", "что", "он", "это", "как", "его", "по"]
+
+# Word-token languages: stopword votes (case-insensitive token equality).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": DE_STOPWORDS,
+    "fr": FR_STOPWORDS,
+    "es": ES_STOPWORDS,
+    "it": IT_STOPWORDS,
+    "pt": PT_STOPWORDS,
+    "nl": NL_STOPWORDS,
+    "ru": RU_STOPWORDS,
+}
+# Unsegmented-script languages: votes are occurrence counts of function
+# characters (no word boundaries to match on).  The ja set is kana-only —
+# kana never appears in Chinese text, while common kanji appear in both.
+LANG_CHAR_CLASSES: dict[str, str] = {
+    "zh": "的了是我不在有这就们",
+    "ja": "のはにをがでとたしも",
+}
+# Tie-break priority (earlier wins on equal votes).  en/de/fr lead so the
+# original 3-language chain's tie behavior is preserved exactly.
+LANG_PRIORITY = ["en", "de", "fr", "es", "it", "pt", "nl", "ru", "zh", "ja"]
 
 
 def tokens_col(text_col="text"):
@@ -54,16 +81,37 @@ def _stopword_hits(words: list[str], text_col: str = "text"):
     return F.regexp_count(F.lower(F.trim(F.col(text_col))), F.lit(pattern))
 
 
+def _char_class_hits(chars: str, text_col: str = "text"):
+    """Count characters of `chars` occurring anywhere in the text (the
+    vote for unsegmented scripts)."""
+    return F.length(F.regexp_replace(F.col(text_col), f"[^{chars}]", ""))
+
+
+def lang_hits_cols(text_col: str = "text") -> dict:
+    """Per-language vote expression, keyed by language code, in
+    LANG_PRIORITY order."""
+    hits = {}
+    for lang in LANG_PRIORITY:
+        if lang in LANG_STOPWORDS:
+            hits[lang] = _stopword_hits(LANG_STOPWORDS[lang], text_col)
+        else:
+            hits[lang] = _char_class_hits(LANG_CHAR_CLASSES[lang], text_col)
+    return hits
+
+
 def pred_lang_col(text_col: str = "text"):
-    """Stopword-vote language prediction expression (en/de/fr)."""
-    en = _stopword_hits(EN_STOPWORDS, text_col)
-    de = _stopword_hits(DE_STOPWORDS, text_col)
-    fr = _stopword_hits(FR_STOPWORDS, text_col)
-    return (
-        F.when((en >= de) & (en >= fr), F.lit("en"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    """Vote-argmax language prediction expression over LANG_PRIORITY
+    (stopword votes for word-token languages, function-character counts
+    for zh/ja); ties go to the earlier language in the priority list."""
+    hits = lang_hits_cols(text_col)
+    expr = F.lit(LANG_PRIORITY[-1])
+    for i in range(len(LANG_PRIORITY) - 2, -1, -1):
+        li = LANG_PRIORITY[i]
+        cond = F.lit(True)
+        for lj in LANG_PRIORITY[i + 1 :]:
+            cond = cond & (hits[li] >= hits[lj])
+        expr = F.when(cond, F.lit(li)).otherwise(expr)
+    return expr
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -89,22 +137,15 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-vote language ID (en/de/fr heuristic)."""
-    toks = tokens_col()
-    en = _stopword_hits(EN_STOPWORDS)
-    de = _stopword_hits(DE_STOPWORDS)
-    fr = _stopword_hits(FR_STOPWORDS)
-    pred = (
-        F.when((en >= de) & (en >= fr), F.lit("en"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    """Vote-based language ID over 10 languages (en/de/fr/es/it/pt/nl/ru
+    stopword votes + zh/ja function-character counts).  Entirely
+    whole-stage-codegen regex counts — no UDF, no shuffle: a pure map at
+    any scale."""
+    hits = lang_hits_cols()
     return docs.select(
         "doc_id",
-        en.alias("en_hits"),
-        de.alias("de_hits"),
-        fr.alias("fr_hits"),
-        pred.alias("pred_lang"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in LANG_PRIORITY],
+        pred_lang_col().alias("pred_lang"),
     )
 
 

@@ -957,3 +957,45 @@ def test_chunk_documents_outlier_lane_parity(spark):
 
     with __import__("pytest").raises(ValueError):
         chunk_documents(spiked, chunk_tokens=64, outlier_tokens=32)
+
+
+def test_lang_id_ten_languages(spark):
+    """VERDICT r3 #5: lang_id covers 10 languages. Accuracy spot-test on a
+    deterministic multilingual slice (real function-word-laden sentences),
+    plus tie-break and backward-compatibility invariants."""
+    from rust_html2text_spark.functions.textstats import LANG_PRIORITY, lang_id
+
+    sentences = {
+        "en": "the cat sat on the mat and it is clear that the plan is good for everyone in the room",
+        "de": "der hund und die katze sind nicht in das haus zu den leuten mit einem ball gegangen",
+        "fr": "le chien et la souris sont dans les champs pour que la vie est une belle chose",
+        "es": "el perro que vive con los vecinos por la mañana se fue para las montañas y está feliz",
+        "it": "il cane che corre per la strada non è di questo quartiere ma sono sicuro anche della gatta",
+        "pt": "você não sabe que isso é uma coisa muito boa mas ele quer mais dos outros são todos",
+        "nl": "het is niet een groot huis maar ik denk dat wij van de tuin zijn gaan houden met plezier voor iedereen",
+        "ru": "и вот он сказал что это не на самом деле так как его по правде никто не видел в городе",
+        "zh": "这是我们的房子他们都在这里我不知道是不是他的了就是这样",
+        "ja": "これはわたしのいえですねこをみたのはきのうでしたがとてもかわいかったですよ",
+    }
+    assert set(sentences) == set(LANG_PRIORITY)
+    docs = spark.createDataFrame(
+        [(i, sentences[lang]) for i, lang in enumerate(LANG_PRIORITY)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert got == {i: lang for i, lang in enumerate(LANG_PRIORITY)}, got
+
+    # schema: one hits column per language, priority order preserved
+    cols = lang_id(docs).columns
+    assert cols == ["doc_id"] + [f"{lang}_hits" for lang in LANG_PRIORITY] + [
+        "pred_lang"
+    ]
+
+    # all-zero votes tie-break to 'en' (backward compatible with the old
+    # 3-language chain's default)
+    zero = spark.createDataFrame([(0, "xyzzy plugh 42")], "doc_id long, text string")
+    assert lang_id(zero).collect()[0].pred_lang == "en"
+
+    # no UDF in the plan — the op stays whole-stage-codegen
+    plan = lang_id(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
