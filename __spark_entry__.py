@@ -354,6 +354,47 @@ def q_rolling_hash(spark, sf_dir):
     return rolling_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_rolling_hash_extend(spark, sf_dir):
+    """Incremental fingerprint update: h(doc + suffix) derived from h(doc)
+    in O(|suffix|) (the extend-incrementally property of the Rabin-Karp
+    fold), cross-checked against the from-scratch hash of the extended
+    stream — `consistent` is provably all-true."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.textstats import extend_rolling_hash
+
+    base, mod = 257, 1_000_000_007
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    suffix = F.concat(F.lit(" update "), F.col("doc_id").cast("string"))
+
+    def fold(chars_col, init):
+        return F.aggregate(
+            F.split(chars_col, ""),
+            init.cast("long"),
+            lambda acc, c: (acc * base + F.ascii(c)) % mod,
+        )
+
+    staged = docs.select(
+        "doc_id",
+        normalized.alias("_norm"),
+        suffix.alias("_suffix"),
+        fold(normalized, F.lit(0)).alias("rolling_hash"),
+    )
+    return staged.select(
+        "doc_id",
+        "rolling_hash",
+        extend_rolling_hash(F.col("rolling_hash"), F.col("_suffix")).alias(
+            "extended_hash"
+        ),
+        fold(F.concat("_norm", "_suffix"), F.lit(0)).alias("direct_hash"),
+        (
+            extend_rolling_hash(F.col("rolling_hash"), F.col("_suffix"))
+            == fold(F.concat("_norm", "_suffix"), F.lit(0))
+        ).alias("consistent"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_corpus(spark, sf_dir):
     """The deduplicated corpus itself: one doc (the min doc_id) kept per
     LSH duplicate cluster."""
@@ -663,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "dedup_corpus": q_dedup_corpus,
         "rolling_hash": q_rolling_hash,
+        "rolling_hash_extend": q_rolling_hash_extend,
     }
 
 
@@ -1366,6 +1408,44 @@ def oracle_sql() -> dict[str, str]:
                    ) AS rolling_hash
             FROM documents WHERE text IS NOT NULL
             ORDER BY doc_id
+        """,
+        "rolling_hash_extend": r"""
+            WITH n AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+                       ' update ' || CAST(doc_id AS VARCHAR) AS suffix
+                FROM documents WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id, norm, suffix,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(norm, ''),
+                                   c -> CASE WHEN c = '' THEN 0
+                                             ELSE unicode(c) END)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007
+                       ) AS rolling_hash
+                FROM n
+            ), e AS (
+                SELECT doc_id, rolling_hash,
+                       list_reduce(
+                           list_prepend(rolling_hash,
+                               list_transform(string_split(suffix, ''),
+                                   c -> CASE WHEN c = '' THEN 0
+                                             ELSE unicode(c) END)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007
+                       ) AS extended_hash,
+                       list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(string_split(norm || suffix, ''),
+                                   c -> CASE WHEN c = '' THEN 0
+                                             ELSE unicode(c) END)),
+                           (acc, c) -> (acc * 257 + c) % 1000000007
+                       ) AS direct_hash
+                FROM h
+            )
+            SELECT doc_id, rolling_hash, extended_hash, direct_hash,
+                   (extended_hash = direct_hash) AS consistent
+            FROM e ORDER BY doc_id
         """,
         "dedup_corpus": (
             sigs_cte.replace("WITH ", "WITH RECURSIVE ", 1)

@@ -212,3 +212,19 @@ def rolling_fingerprint(
     return docs.filter(F.col("text").isNotNull()).select(
         "doc_id", h.alias("rolling_hash")
     )
+
+
+def extend_rolling_hash(
+    hash_col, suffix_col, base: int = 257, mod: int = 1_000_000_007
+):
+    """Continue a Rabin-Karp fold from an existing hash over appended
+    characters: h(stream + suffix) derived from h(stream) WITHOUT touching
+    the original text — the incremental-update property rolling hashes
+    exist for (re-fingerprint a crawl snapshot's appended pages/edits in
+    O(|delta|) instead of O(|corpus|)).  Column-level, codegen HOF fold."""
+    chars = F.split(suffix_col, "")
+    return F.aggregate(
+        chars,
+        hash_col.cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )

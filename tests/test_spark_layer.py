@@ -999,3 +999,41 @@ def test_lang_id_ten_languages(spark):
     # no UDF in the plan — the op stays whole-stage-codegen
     plan = lang_id(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rolling_hash_extend_consistency(spark):
+    """VERDICT r3 #7: the incremental extension h(doc+suffix) derived from
+    h(doc) must equal the from-scratch hash for every document, including
+    hostile ones (trailing whitespace, single char)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["rolling_hash_extend"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.consistent for r in rows)
+    assert all(r.extended_hash == r.direct_hash for r in rows)
+
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.textstats import (
+        extend_rolling_hash,
+        rolling_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world  "), (2, "x")], "doc_id long, text string"
+    )
+    h = rolling_fingerprint(docs)
+    joined = docs.join(h, "doc_id")
+    ext = joined.select(
+        "doc_id",
+        extend_rolling_hash(F.col("rolling_hash"), F.lit(" more")).alias("he"),
+    )
+    # from-scratch over the extended text (normalization collapses the
+    # trailing whitespace exactly as the incremental stream assumes)
+    direct = rolling_fingerprint(
+        docs.select("doc_id", F.concat(F.col("text"), F.lit(" more")).alias("text"))
+    )
+    got = {r.doc_id: r.he for r in ext.collect()}
+    want = {r.doc_id: r.rolling_hash for r in direct.collect()}
+    assert got == want
