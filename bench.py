@@ -134,6 +134,45 @@ def main() -> None:
                 best = sec if best is None else min(best, sec)
             timings[name] = round(best, 3)
 
+        # end-to-end dedup graph: LSH candidate pairs → connected
+        # components → materialized deduped corpus (the full near-dup
+        # pipeline, previously oracled only at 50 pairs)
+        from rust_html2text_spark.functions.dedup import (
+            dup_components,
+            lsh_candidate_pairs,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        graph_stats: dict = {}
+        best = None
+        for _pass in range(2):
+            t0 = time.monotonic()
+            prs = lsh_candidate_pairs(docs)
+            comp = dup_components(prs, stats=graph_stats)
+            losers = comp.filter(F.col("component_id") != F.col("doc_id")).select(
+                "doc_id"
+            )
+            kept = docs.join(losers, "doc_id", "left_anti").count()
+            sec = time.monotonic() - t0
+            best = sec if best is None else min(best, sec)
+            assert 0 < kept <= docs.count()
+        timings["dedup_graph_e2e"] = round(best, 3)
+        assert graph_stats.get("converged"), graph_stats
+
+        # chain-topology convergence evidence: a path graph is the
+        # worst-case diameter per edge; pointer jumping must finish in
+        # O(log n) rounds, not O(n)
+        chain_n = 4096
+        chain = spark.range(chain_n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        chain_stats: dict = {}
+        t0 = time.monotonic()
+        chain_comp = dup_components(chain, max_iterations=30, stats=chain_stats)
+        n_comp = chain_comp.select("component_id").distinct().count()
+        timings["dedup_components_chain4096"] = round(time.monotonic() - t0, 3)
+        assert n_comp == 1 and chain_stats["converged"], (n_comp, chain_stats)
+
         total = round(sum(timings.values()), 3)
         print(
             json.dumps(
@@ -149,6 +188,8 @@ def main() -> None:
                     "docs_per_sec": round(n_docs / render_sec, 1),
                     "mb_per_sec": round(total_html_mb / render_sec, 2),
                     "render_errors": int(stats["err"]),
+                    "dedup_graph_rounds": graph_stats.get("rounds"),
+                    "chain4096_rounds": chain_stats.get("rounds"),
                     "cpus": int(cpus),
                 }
             )

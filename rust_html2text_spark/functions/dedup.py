@@ -547,7 +547,9 @@ def new_keys_vs_snapshot(
 # -- duplicate-cluster resolution (connected components) ----------------------
 
 
-def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+def dup_components(
+    pairs: DataFrame, max_iterations: int = 25, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-duplicate candidate pairs: each doc
     gets `component_id` = the minimum doc_id reachable through the pair
     graph — the cluster key for keep-one-per-cluster dedup (the step after
@@ -560,7 +562,10 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     same doubling idea as the published large-star/small-star method).
     Each round is two shuffles; lineage is cut per round with
     localCheckpoint so the plan does not grow with iterations.  The driver
-    holds only the convergence counter, never the labels."""
+    holds only the convergence counter, never the labels.
+
+    Pass a dict as `stats` to receive {"rounds": n, "converged": bool}
+    (the O(log diameter) convergence evidence)."""
     spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -576,7 +581,10 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
+    rounds = 0
     for _round in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -613,7 +621,7 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    else:
+    if changed > 0:
         warnings.warn(
             f"dup_components: label propagation still changing after "
             f"{max_iterations} rounds ({changed} labels moved last round) — "
@@ -622,6 +630,9 @@ def dup_components(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
