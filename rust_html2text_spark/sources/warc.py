@@ -255,7 +255,10 @@ def _file_chunks(path: str) -> Iterator[bytes]:
         yield from _fileobj_chunks(fh)
 
 
-def _iter_warc_pages(chunks, include_types):
+def _iter_warc_pages_ex(chunks, include_types):
+    """(url, warc_ts, payload, ingest_error) per matching record —
+    ingest_error is non-None when the HTTP body claimed an encoding that
+    could not be decoded (payload then degrades to the framed body)."""
     for headers, block in iter_warc_records(chunks):
         if headers.get("warc-type") not in include_types:
             continue
@@ -263,7 +266,13 @@ def _iter_warc_pages(chunks, include_types):
         if url is None:
             continue
         ts = _parse_warc_date(headers.get("warc-date", ""))
-        yield url, ts, _split_http_payload(block)
+        payload, err = _decode_http_payload(block)
+        yield url, ts, payload, err
+
+
+def _iter_warc_pages(chunks, include_types):
+    for url, ts, payload, _err in _iter_warc_pages_ex(chunks, include_types):
+        yield url, ts, payload
 
 
 def iter_warc_file(
@@ -271,6 +280,13 @@ def iter_warc_file(
 ) -> Iterator[tuple[str, datetime | None, bytes]]:
     """Yield (url, warc_ts, html_bytes) for each matching record."""
     yield from _iter_warc_pages(_file_chunks(path), include_types)
+
+
+def iter_warc_file_ex(
+    path: str, include_types: tuple[str, ...] = ("response",)
+) -> Iterator[tuple[str, datetime | None, bytes, str | None]]:
+    """iter_warc_file plus the per-record ingest-error marker."""
+    yield from _iter_warc_pages_ex(_file_chunks(path), include_types)
 
 
 def iter_warc_bytes(
@@ -296,10 +312,16 @@ def read_warc_pages(
     include_types: tuple[str, ...] = ("response",),
     records_per_batch: int = 256,
     batch_bytes: int = 32 << 20,
+    include_error_col: bool = False,
 ):
     """WARC file(s) → pages DataFrame (north-rule schema; text/lang NULL —
     they are downstream products).  `paths` is a glob string or a list of
-    file paths; one streaming task per file."""
+    file paths; one streaming task per file.
+
+    `include_error_col=True` appends an `ingest_error` string column:
+    non-NULL where the record's HTTP body claimed a Transfer-/Content-
+    Encoding that could not be decoded (the html column then carries the
+    framed body as-is) — the lineage signal for crawl-QA dashboards."""
     if isinstance(paths, str):
         import glob as globmod
 
@@ -312,6 +334,7 @@ def read_warc_pages(
     include = tuple(include_types)
     rpb = int(records_per_batch)
     bb = int(batch_bytes)
+    with_err = bool(include_error_col)
 
     def read_files(batches):
         import os
@@ -324,20 +347,23 @@ def read_warc_pages(
             sys.path.insert(0, _repo)
         import pandas as pd
 
-        from rust_html2text_spark.sources.warc import iter_warc_file
+        from rust_html2text_spark.sources.warc import iter_warc_file_ex
+
+        cols = ["url", "warc_ts", "html", "text", "lang"] + (
+            ["ingest_error"] if with_err else []
+        )
 
         def flush(rows):
-            return pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+            return pd.DataFrame(rows, columns=cols)
 
         for pdf in batches:
             for path in pdf["path"]:
                 rows: list[tuple] = []
                 size = 0
                 try:
-                    for url, ts, html in iter_warc_file(path, include):
-                        rows.append((url, ts, html, None, None))
+                    for url, ts, html, err in iter_warc_file_ex(path, include):
+                        row = (url, ts, html, None, None)
+                        rows.append(row + (err,) if with_err else row)
                         size += len(html)
                         if len(rows) >= rpb or size >= bb:
                             yield flush(rows)
@@ -349,10 +375,11 @@ def read_warc_pages(
                 if rows:
                     yield flush(rows)
 
+    schema = PAGES_SCHEMA + (", ingest_error string" if with_err else "")
     files = spark.createDataFrame([(p,) for p in paths], "path string")
     # round-robin: exactly one file per task (gzip is unsplittable; the
     # file is the unit of parallelism, as in any 100k-file crawl read)
-    return files.repartition(n).mapInPandas(read_files, PAGES_SCHEMA)
+    return files.repartition(n).mapInPandas(read_files, schema)
 
 
 # -- the writer (tests / local round-trips) ----------------------------------

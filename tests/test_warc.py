@@ -424,3 +424,38 @@ def test_spark_render_parity_over_encoded_warc(spark, tmp_path):
         .collect()
     }
     assert warc_text == parquet_text and len(warc_text) == 40
+
+
+def test_ingest_error_column(spark, tmp_path):
+    """include_error_col surfaces per-record decode failures as lineage
+    (NULL for clean records, the error string for degraded ones)."""
+    good = _enc_records(3)
+    path = str(tmp_path / "ok.warc")
+    write_warc_file(path, good, gzip_members=False, http_encoding="gzip")
+    # append a record whose body claims gzip but is garbage
+    bad_http = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot gzip"
+    evil = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://enc.example.com/bad\r\n"
+        "WARC-Date: 2026-02-01T00:00:59Z\r\n"
+        "Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(bad_http)}\r\n\r\n"
+    ).encode() + bad_http + b"\r\n\r\n"
+    with open(path, "ab") as fh:
+        fh.write(evil)
+
+    df = read_warc_pages(spark, [path], include_error_col=True)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang", "ingest_error"]
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 4
+    for url, _, html in good:
+        assert rows[url]["ingest_error"] is None
+        assert bytes(rows[url]["html"]) == html
+    bad = rows["https://enc.example.com/bad"]
+    assert bad["ingest_error"] is not None and "gzip" in bad["ingest_error"]
+    assert bytes(bad["html"]) == b"not gzip"  # degraded to the framed body
+
+    # default schema is unchanged (north-rule shape)
+    plain = read_warc_pages(spark, [path])
+    assert plain.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert plain.count() == 4
