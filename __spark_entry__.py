@@ -45,6 +45,23 @@ def q_render_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_pages(pages, width=WIDTH).select("url", "text", "error")
 
 
+def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (HTML boilerplate strip, DOM heuristics):
+    chrome-wrapped pages → extracted article text + scoring lineage.
+    Oracle: the same extraction precomputed single-process outside Spark
+    (goldens/render_goldens.parquet main_* columns)."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_pages(pages, width=WIDTH).select(
+        "url", "text", "error", "winner_tag", "score"
+    )
+
+
 def q_render_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_html2text_spark.operators.render import render_pages
     from rust_html2text_spark.sources.corpus import load_pages
@@ -659,6 +676,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "render_flagship": q_render_flagship,
+        "extract_main": q_extract_main,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
         "render_dedup": q_render_dedup,
@@ -925,6 +943,11 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
+        "extract_main": (
+            "SELECT g.url, g.main_text AS text, g.main_error AS error, "
+            "g.main_winner_tag AS winner_tag, g.main_score AS score "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
         "render_dedup": f"SELECT url, text, error FROM ({_RENDERED})",
         "render_rich_spans": (
             f"SELECT url, n_lines, n_link_spans FROM ({_RENDERED})"

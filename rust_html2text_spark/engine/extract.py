@@ -1,0 +1,276 @@
+"""Main-content extraction: HTML boilerplate strip via DOM heuristics.
+
+The reference engine renders the WHOLE document
+(/root/reference/src/lib.rs:3430); a crawl-scale extraction pipeline
+additionally needs the content-vs-chrome split (the north-rule tier names
+"HTML boilerplate strip ... DOM heuristics" explicitly).  This module adds
+that split in FRONT of the same renderer, so the extracted main content
+inherits every layout semantic (tables, lists, links, wrapping) the
+engine already certifies byte-identically.
+
+The heuristic is the classic public readability/boilerpipe family,
+re-derived from its published description (no code consulted):
+
+1. **Strip** chrome-by-construction elements (script/style/nav/aside/
+   footer/form/...), plus elements whose id/class names scream chrome
+   (sidebar, comment, promo, ...) unless they also claim content-ness.
+2. **Score text blocks** (p, pre, blockquote, headers, li, td, and
+   leaf-ish divs): points = 1 + commas + min(chars/100, 3).  Each block
+   credits its parent fully and its grandparent half — so a container
+   OWNING paragraphs outscores the page wrapper that merely contains it.
+3. **Adjust candidates** by link density (chrome is link-dense, prose is
+   not), id/class priors, and tag priors (article/main declare intent).
+4. **Winner** = highest score, document order breaking ties; the winner
+   subtree is rendered with the normal engine pipeline.
+
+Everything is integer/rational arithmetic over subtree text statistics —
+deterministic at any parallelism, exactly like the renderer itself.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .htmlparse import DomNode, parse_html
+
+# Elements that are never content (removed outright, subtree and all).
+STRIP_TAGS = frozenset(
+    "script style noscript template nav aside footer header form iframe "
+    "object embed applet button select option textarea label menu dialog "
+    "svg canvas audio video map area".split()
+)
+
+# id/class vocabulary.  An element whose id+class hits NEGATIVE without
+# hitting POSITIVE is stripped in pass 1 (unless it is a structural tag).
+_POSITIVE_RE = re.compile(
+    r"article|body|content|entry|hentry|main|page|post|text|blog|story",
+    re.IGNORECASE,
+)
+_NEGATIVE_RE = re.compile(
+    r"banner|breadcrumb|combx|comment|community|cookie|disqus|extra|foot|"
+    r"masthead|menu|modal|nav|popup|promo|related|remark|rss|share|shoutbox|"
+    r"sidebar|skyscraper|social|sponsor|widget|advert|\bad\b|ad-",
+    re.IGNORECASE,
+)
+_STRUCTURAL = frozenset("html body article main".split())
+
+# Block elements whose text mass votes for their container.
+_TEXT_BLOCKS = frozenset(
+    "p pre blockquote h1 h2 h3 h4 h5 h6 li dd dt td figcaption".split()
+)
+# A div with none of these among its children behaves like a paragraph.
+_DIV_BLOCKERS = frozenset(
+    "p div table ul ol dl section article header footer nav aside pre "
+    "blockquote h1 h2 h3 h4 h5 h6 form".split()
+)
+
+_TAG_PRIOR = {"article": 30, "main": 30, "section": 8, "td": -5, "body": -20}
+_CLASS_PRIOR = 25
+
+_MIN_BLOCK_CHARS = 20  # text blocks shorter than this carry no signal
+
+
+def _id_class(node: DomNode) -> str:
+    return f"{node.attrs.get('id', '')} {node.attrs.get('class', '')}"
+
+
+def strip_boilerplate(node: DomNode) -> None:
+    """Pass 1: remove chrome elements in place (tag list + id/class
+    vocabulary).  Mutates the DOM."""
+    kept = []
+    for child in node.children:
+        if child.kind == "element":
+            name = (child.name or "").lower()
+            if name in STRIP_TAGS:
+                continue
+            if name not in _STRUCTURAL:
+                idc = _id_class(child)
+                if (
+                    idc.strip()
+                    and _NEGATIVE_RE.search(idc)
+                    and not _POSITIVE_RE.search(idc)
+                ):
+                    continue
+        strip_boilerplate(child)
+        kept.append(child)
+    node.children[:] = kept
+
+
+def _subtree_stats(root: DomNode, memo: dict) -> tuple[int, int, int]:
+    """(non-ws chars, link chars, commas) for the subtree — post-order,
+    memoized by node identity so candidate scoring is O(n) overall."""
+    key = id(root)
+    got = memo.get(key)
+    if got is not None:
+        return got
+    if root.kind == "text":
+        t = root.text or ""
+        chars = sum(len(w) for w in t.split())
+        out = (chars, 0, t.count(","))
+    else:
+        chars = links = commas = 0
+        for child in root.children:
+            c, l, m = _subtree_stats(child, memo)
+            chars += c
+            links += l
+            commas += m
+        if root.kind == "element" and (root.name or "").lower() == "a":
+            links = chars
+        out = (chars, links, commas)
+    memo[key] = out
+    return out
+
+
+def _is_text_block(node: DomNode) -> bool:
+    if node.kind != "element":
+        return False
+    name = (node.name or "").lower()
+    if name in _TEXT_BLOCKS:
+        return True
+    if name == "div":
+        return not any(
+            c.kind == "element" and (c.name or "").lower() in _DIV_BLOCKERS
+            for c in node.children
+        )
+    return False
+
+
+def score_candidates(dom: DomNode) -> list[tuple[float, int, DomNode]]:
+    """Pass 2+3: text-block voting plus candidate adjustments.  Returns
+    (score, doc_order, node) sorted best-first; empty if the page has no
+    scoreable text."""
+    memo: dict = {}
+    points: dict[int, float] = {}
+    nodes: dict[int, DomNode] = {}
+    order: dict[int, int] = {}
+    counter = 0
+
+    def walk(node: DomNode) -> None:
+        nonlocal counter
+        order.setdefault(id(node), counter)
+        counter += 1
+        if _is_text_block(node):
+            chars, links, commas = _subtree_stats(node, memo)
+            prose = chars - links
+            if prose >= _MIN_BLOCK_CHARS:
+                pts = 1.0 + commas + min(prose / 100.0, 3.0)
+                parent = node.parent
+                if parent is not None and parent.kind == "element":
+                    points[id(parent)] = points.get(id(parent), 0.0) + pts
+                    nodes[id(parent)] = parent
+                    gp = parent.parent
+                    if gp is not None and gp.kind == "element":
+                        points[id(gp)] = points.get(id(gp), 0.0) + pts / 2.0
+                        nodes[id(gp)] = gp
+        for child in node.children:
+            walk(child)
+
+    walk(dom)
+
+    scored = []
+    for key, pts in points.items():
+        node = nodes[key]
+        chars, links, _ = _subtree_stats(node, memo)
+        link_density = links / chars if chars else 0.0
+        score = pts * (1.0 - link_density)
+        idc = _id_class(node)
+        if _POSITIVE_RE.search(idc):
+            score += _CLASS_PRIOR
+        if _NEGATIVE_RE.search(idc):
+            score -= _CLASS_PRIOR
+        score += _TAG_PRIOR.get((node.name or "").lower(), 0)
+        scored.append((score, order[key], node))
+    # best score first; ties resolve to earliest document order
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return scored
+
+
+def _find_body(dom: DomNode) -> DomNode:
+    stack = [dom]
+    while stack:
+        n = stack.pop()
+        if n.kind == "element" and (n.name or "").lower() == "body":
+            return n
+        stack.extend(reversed(n.children))
+    return dom
+
+
+def extract_main_node(dom: DomNode) -> tuple[DomNode, dict]:
+    """Strip + score an already-parsed DOM; returns (winner, debug info).
+    Falls back to <body> when nothing scores (e.g. an all-table page)."""
+    strip_boilerplate(dom)
+    scored = score_candidates(dom)
+    if scored:
+        score, _, winner = scored[0]
+        info = {
+            "winner_tag": (winner.name or "").lower(),
+            "score": round(score, 3),
+            "n_candidates": len(scored),
+        }
+    else:
+        winner = _find_body(dom)
+        info = {
+            "winner_tag": (winner.name or "").lower() or winner.kind,
+            "score": 0.0,
+            "n_candidates": 0,
+        }
+    return winner, info
+
+
+def _wrap_as_document(winner: DomNode) -> DomNode:
+    """Re-root the winner subtree as a minimal document so the normal
+    dom→render-tree lowering applies unchanged."""
+    name = (winner.name or "").lower() if winner.kind == "element" else ""
+    doc = DomNode("document")
+    if name == "html":
+        doc.append(winner)
+        return doc
+    html_el = DomNode("element", "html")
+    doc.append(html_el)
+    if name == "body":
+        html_el.append(winner)
+        return doc
+    body_el = DomNode("element", "body")
+    html_el.append(body_el)
+    body_el.append(winner)
+    return doc
+
+
+def extract_main(html: bytes | str, width: int = 80, config=None) -> str:
+    """Parse → strip boilerplate → pick the main-content subtree → render
+    it with the normal engine pipeline.  Raises the same RenderError
+    family as html_to_text (TooNarrow etc.)."""
+    return extract_main_ex(html, width, config)["text"]
+
+
+def extract_main_ex(html: bytes | str, width: int = 80, config=None) -> dict:
+    """extract_main plus the scoring lineage
+    {text, winner_tag, score, n_candidates}."""
+    from .api import _HtmlContext, _free_dom, plain_config
+    from .errors import Fail, TooNarrow
+    from .lower import dom_to_render_tree
+    from .render import render_tree_to_string
+
+    if config is None:
+        config = plain_config()
+    dom = parse_html(html, xml_mode=config.xml)
+    try:
+        winner, info = extract_main_node(dom)
+        wrapped = _wrap_as_document(winner)
+        context = _HtmlContext(config)
+        render_tree = dom_to_render_tree(wrapped, context)
+        if render_tree is None:
+            raise Fail("no render tree")
+        if width == 0:
+            raise TooNarrow()
+        decorator = config.make_decorator()
+        from .subrender import SubRenderer
+
+        builder = SubRenderer(width, config.render_options(), decorator)
+        renderer = render_tree_to_string(
+            context, builder, decorator.make_subblock_decorator(), render_tree
+        )
+        info["text"] = renderer.into_string()
+        return info
+    finally:
+        _free_dom(dom)

@@ -1,0 +1,151 @@
+"""The main-content extraction operator, Spark-first.
+
+Same plan shape as operators/render.py (scan → salted repartition →
+mapInPandas), same robustness contract (a hostile page becomes an error
+row, never a task failure) — the kernel is engine/extract.extract_main_ex
+(boilerplate strip + DOM-heuristic candidate scoring) instead of the
+whole-document render.  The winner tag and score ride along as lineage
+for crawl-QA dashboards.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+        StructField("html_bytes", LongType()),
+        StructField("text_bytes", LongType()),
+        StructField("winner_tag", StringType()),
+        StructField("score", DoubleType()),
+        StructField("n_candidates", LongType()),
+    ]
+)
+
+
+def _extract_batch_fn(width: int, config_kwargs: dict):
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+
+        from rust_html2text_spark.engine.api import Config, plain_config
+        from rust_html2text_spark.engine.errors import RenderError
+        from rust_html2text_spark.engine.extract import extract_main_ex
+
+        gc.set_threshold(200_000, 50, 50)
+        config = Config(**config_kwargs) if config_kwargs else plain_config()
+
+        for batch in batches:
+            out = {
+                "url": batch["url"],
+                "text": [],
+                "error": [],
+                "html_bytes": [],
+                "text_bytes": [],
+                "winner_tag": [],
+                "score": [],
+                "n_candidates": [],
+            }
+            for html in batch["html"]:
+                if html is None:
+                    out["text"].append(None)
+                    out["error"].append("NullInput")
+                    out["html_bytes"].append(0)
+                    out["text_bytes"].append(0)
+                    out["winner_tag"].append(None)
+                    out["score"].append(None)
+                    out["n_candidates"].append(0)
+                    continue
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                out["html_bytes"].append(len(html))
+                try:
+                    r = extract_main_ex(html, width, config)
+                    out["text"].append(r["text"])
+                    out["error"].append(None)
+                    out["text_bytes"].append(len(r["text"].encode("utf-8")))
+                    out["winner_tag"].append(r["winner_tag"])
+                    out["score"].append(float(r["score"]))
+                    out["n_candidates"].append(r["n_candidates"])
+                except RenderError as e:
+                    out["text"].append(None)
+                    out["error"].append(type(e).__name__)
+                    out["text_bytes"].append(0)
+                    out["winner_tag"].append(None)
+                    out["score"].append(None)
+                    out["n_candidates"].append(0)
+                except Exception as e:  # never kill the task
+                    out["text"].append(None)
+                    out["error"].append(f"Fail:{type(e).__name__}")
+                    out["text_bytes"].append(0)
+                    out["winner_tag"].append(None)
+                    out["score"].append(None)
+                    out["n_candidates"].append(0)
+            yield pd.DataFrame(out)
+
+    return extract_batches
+
+
+def extract_pages(
+    df: DataFrame,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    outlier_bytes: int | None = 1 << 20,
+    repartition: str = "salted",
+) -> DataFrame:
+    """Extract main content from a pages DataFrame (url, html, ...) →
+    (url, text, error, sizes, winner_tag, score, n_candidates).  Same
+    partitioning contract as operators/render.render_pages: salted url
+    hash by default, `repartition="none"` for pre-shuffled input, and an
+    oversized-outlier lane so one giant page never stalls a task's worth
+    of siblings."""
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
+    pages = df.select("url", "html")
+    if outlier_bytes is not None:
+        # coalesce: NULL html must land in the normal lane (→ a NullInput
+        # error row), not silently vanish from both filter branches
+        pages = pages.withColumn(
+            "_oversized",
+            F.coalesce(F.length("html") > outlier_bytes, F.lit(False)),
+        )
+        normal = pages.filter(~F.col("_oversized")).drop("_oversized")
+        oversized = pages.filter(F.col("_oversized")).drop("_oversized")
+    else:
+        normal = pages
+        oversized = None
+
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    key = F.xxhash64(F.col("url"), F.lit(salt))
+    if repartition == "salted":
+        normal = normal.repartition(n, key)
+
+    fn = _extract_batch_fn(width, config_kwargs or {})
+    out = normal.mapInPandas(fn, EXTRACT_SCHEMA)
+    if oversized is not None:
+        oversized = oversized.repartition(n, key)
+        out = out.unionByName(oversized.mapInPandas(fn, EXTRACT_SCHEMA))
+    return out

@@ -187,7 +187,12 @@ def render_pages(
         cols.append("width")
     pages = df.select(*cols)
     if outlier_bytes is not None:
-        pages = pages.withColumn("_oversized", F.length("html") > outlier_bytes)
+        # coalesce: NULL html must land in the normal lane (→ a NullInput
+        # error row), not silently vanish from both filter branches
+        pages = pages.withColumn(
+            "_oversized",
+            F.coalesce(F.length("html") > outlier_bytes, F.lit(False)),
+        )
         normal = pages.filter(~F.col("_oversized")).drop("_oversized")
         oversized = pages.filter(F.col("_oversized")).drop("_oversized")
     else:

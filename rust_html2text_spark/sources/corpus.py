@@ -121,6 +121,84 @@ def pages_from_documents(
     )
 
 
+def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """pages table whose html wraps each document body in realistic site
+    chrome (nav / masthead / sidebar / footer) around an <article> — the
+    boilerplate-strip test corpus for the main-content extractor.  Same
+    codegen-only construction as pages_from_documents; the Python replica
+    is synthesize_chrome_page_py (pinned equal by test)."""
+    base = pages_from_documents(docs)
+    inner = docs.select(
+        F.col("doc_id"),
+        F.col("source"),
+        F.col("lang"),
+    )
+    # re-derive the body from the plain page html (strip the fixed wrapper)
+    body = F.expr(
+        "substring(decode(html, 'UTF-8'), 13, "
+        "length(decode(html, 'UTF-8')) - 26)"
+    )
+    did = F.col("doc_id").cast("string")
+    chrome = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did,
+        F.lit('</title></head><body><nav><a href="/">Home</a> '),
+        F.lit('<a href="/archive">Archive</a> <a href="/about">About us</a> '),
+        F.lit('<a href="/contact">Contact</a></nav><header><h1>The '),
+        F.col("source"),
+        F.lit(' journal</h1><a href="/login">Log in</a></header>'),
+        F.lit('<div id="content"><article>'),
+        body,
+        F.lit('</article></div><div class="sidebar"><h3>Related</h3>'),
+        F.lit('<p><a href="/doc/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">Next article</a> <a href="/doc/'),
+        (F.col("doc_id") - 1).cast("string"),
+        F.lit('">Previous article</a></p><p>Subscribe to the newsletter!</p>'),
+        F.lit("</div><footer><p>Copyright 2026 The "),
+        F.col("source"),
+        F.lit(' journal. All rights reserved. <a href="/terms">Terms</a> '),
+        F.lit('<a href="/privacy">Privacy</a></p></footer></body></html>'),
+    )
+    with_body = docs.select("doc_id", "source", "lang").join(
+        base.withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long"),
+        ).select("doc_id", "url", "warc_ts", "html"),
+        "doc_id",
+    )
+    return with_body.select(
+        "url",
+        "warc_ts",
+        F.encode(chrome, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+def synthesize_chrome_page_py(doc_id: int, text: str, source: str) -> tuple[str, bytes]:
+    """Single-process replica of chrome_pages_from_documents — byte-
+    identical chrome wrapping of the same body."""
+    url, plain = synthesize_page_py(doc_id, text, source)
+    body = plain.decode("utf-8")[len("<html><body>") : -len("</body></html>")]
+    chrome = (
+        f"<html><head><title>Doc {doc_id}</title></head><body>"
+        f'<nav><a href="/">Home</a> <a href="/archive">Archive</a> '
+        f'<a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+        f'<header><h1>The {source} journal</h1>'
+        f'<a href="/login">Log in</a></header>'
+        f'<div id="content"><article>{body}</article></div>'
+        f'<div class="sidebar"><h3>Related</h3>'
+        f'<p><a href="/doc/{doc_id + 1}">Next article</a> '
+        f'<a href="/doc/{doc_id - 1}">Previous article</a></p>'
+        f"<p>Subscribe to the newsletter!</p></div>"
+        f"<footer><p>Copyright 2026 The {source} journal. All rights "
+        f'reserved. <a href="/terms">Terms</a> '
+        f'<a href="/privacy">Privacy</a></p></footer></body></html>'
+    )
+    return url, chrome.encode("utf-8")
+
+
 def load_pages(
     spark: SparkSession,
     sf_dir: str,

@@ -40,7 +40,11 @@ def build_rows(sf_dir: str) -> list[dict]:
 
     from rust_html2text_spark.engine.api import html_to_lines, html_to_text
     from rust_html2text_spark.engine.errors import RenderError
-    from rust_html2text_spark.sources.corpus import synthesize_page_py
+    from rust_html2text_spark.engine.extract import extract_main_ex
+    from rust_html2text_spark.sources.corpus import (
+        synthesize_chrome_page_py,
+        synthesize_page_py,
+    )
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
@@ -72,6 +76,19 @@ def build_rows(sf_dir: str) -> list[dict]:
             )
         except Exception:
             n_lines, n_links = -1, -1
+        # main-content extraction over the chrome-wrapped variant of the
+        # same page (the boilerplate-strip expectation)
+        _, chrome_html = synthesize_chrome_page_py(doc_id, text, source)
+        try:
+            ex = extract_main_ex(chrome_html, WIDTH)
+            main_text, main_error = ex["text"], None
+            main_winner, main_score = ex["winner_tag"], float(ex["score"])
+        except RenderError as e:
+            main_text, main_error = None, type(e).__name__
+            main_winner, main_score = None, None
+        except Exception as e:
+            main_text, main_error = None, f"Fail:{type(e).__name__}"
+            main_winner, main_score = None, None
         rows.append(
             {
                 "doc_key": key,
@@ -81,6 +98,10 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "text_bytes": text_bytes,
                 "n_lines": n_lines,
                 "n_link_spans": n_links,
+                "main_text": main_text,
+                "main_error": main_error,
+                "main_winner_tag": main_winner,
+                "main_score": main_score,
             }
         )
     return rows
@@ -110,6 +131,10 @@ def main() -> None:
                 ("text_bytes", pa.int64()),
                 ("n_lines", pa.int64()),
                 ("n_link_spans", pa.int64()),
+                ("main_text", pa.string()),
+                ("main_error", pa.string()),
+                ("main_winner_tag", pa.string()),
+                ("main_score", pa.float64()),
             ]
         ),
     )

@@ -1,0 +1,213 @@
+"""Main-content extraction (engine/extract.py + operators/extract.py):
+boilerplate strip, candidate scoring, fallbacks, and the Spark operator's
+parity with the single-process engine."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from rust_html2text_spark.engine.extract import (  # noqa: E402
+    extract_main,
+    extract_main_ex,
+    extract_main_node,
+    strip_boilerplate,
+)
+from rust_html2text_spark.engine.htmlparse import parse_html  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ARTICLE_PAGE = b"""<html><head><title>T</title></head><body>
+<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/b">About</a></nav>
+<header><h1>Site name</h1><a href="/login">Log in</a></header>
+<div id="content"><article>
+<h2>The real story</h2>
+<p>This is the first paragraph of the actual article, with enough prose,
+commas, and more commas, to be clearly the main content.</p>
+<p>A second paragraph follows, it also has real sentences, and it keeps
+going for a while so the text mass is unmistakable.</p>
+</article></div>
+<div class="sidebar"><a href="/x">Related one</a>
+<p>Subscribe to our newsletter for more amazing content every day!</p></div>
+<footer><p>Copyright 2026. All rights reserved. Terms. Privacy.</p></footer>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_article_wins_and_chrome_is_gone():
+    r = extract_main_ex(ARTICLE_PAGE, 80)
+    assert r["winner_tag"] == "article"
+    text = r["text"]
+    assert "first paragraph of the actual article" in text
+    assert "second paragraph" in text
+    # every piece of chrome is stripped
+    for junk in ("Home", "Log in", "Subscribe", "Copyright", "Related one"):
+        assert junk not in text, junk
+    assert r["n_candidates"] >= 1 and r["score"] > 0
+
+
+def test_strip_boilerplate_tags_and_classes():
+    dom = parse_html(
+        b"<html><body><script>x()</script><style>p{}</style>"
+        b'<div class="ad-banner">BUY</div><div id="comments"><p>spam</p></div>'
+        b'<div id="main-content"><p>keep this content here please</p></div>'
+        b"</body></html>"
+    )
+    strip_boilerplate(dom)
+    from rust_html2text_spark.engine.htmlparse import serialize_html
+
+    out = serialize_html(dom)
+    assert "BUY" not in out and "spam" not in out and "x()" not in out
+    assert "keep this content here" in out
+
+
+def test_negative_class_with_positive_marker_is_kept():
+    """'article-sidebar-note' hits both vocabularies → kept (content-ness
+    claims win, per the published heuristic)."""
+    dom = parse_html(
+        b'<html><body><div class="article sidebar">'
+        b"<p>ambiguous but kept</p></div></body></html>"
+    )
+    strip_boilerplate(dom)
+    from rust_html2text_spark.engine.htmlparse import serialize_html
+
+    assert "ambiguous but kept" in serialize_html(dom)
+
+
+def test_fallback_to_body_when_nothing_scores():
+    r = extract_main_ex(b"<html><body><table><tr><td>x</td></tr></table></body></html>", 80)
+    assert r["winner_tag"] == "body"
+    assert r["n_candidates"] == 0
+    assert "x" in r["text"]
+
+
+def test_link_density_penalizes_link_farms():
+    """Two same-shaped divs; the link-farm one must lose even with more
+    raw characters."""
+    page = (
+        b"<html><body>"
+        b"<div><p>"
+        + b" ".join(b'<a href="/l%d">link number %d</a>' % (i, i) for i in range(12))
+        + b"</p></div>"
+        b"<div><p>plain prose content, with commas, and sentences that make "
+        b"it the obvious main body of the page, not a link list.</p></div>"
+        b"</body></html>"
+    )
+    r = extract_main_ex(page, 80)
+    assert "plain prose content" in r["text"]
+    assert "link number 3" not in r["text"]
+
+
+def test_leafish_div_counts_as_text_block():
+    page = (
+        b"<html><body><div id='wrap'><div>just raw text in a div, long "
+        b"enough to carry signal, with a comma</div></div></body></html>"
+    )
+    r = extract_main_ex(page, 80)
+    assert "just raw text in a div" in r["text"]
+
+
+def test_rendering_inherits_engine_semantics():
+    """The winner subtree renders through the normal engine: lists get
+    bullets, headers get ##, wrapping applies."""
+    page = (
+        b"<html><body><nav><a href='/'>Home</a></nav><article>"
+        b"<h2>Title here</h2><ul><li>alpha beta gamma delta epsilon zeta</li>"
+        b"<li>eta theta iota kappa lambda mu</li></ul>"
+        b"<p>closing prose paragraph, with a comma, and enough words.</p>"
+        b"</article></body></html>"
+    )
+    text = extract_main(page, 40)
+    assert "## Title here" in text
+    assert "* alpha beta" in text
+    assert all(len(line) <= 40 for line in text.splitlines())
+
+
+def test_too_narrow_raises_like_render():
+    from rust_html2text_spark.engine.errors import TooNarrow
+
+    with pytest.raises(TooNarrow):
+        extract_main(ARTICLE_PAGE, 0)
+
+
+def test_deterministic():
+    a = extract_main_ex(ARTICLE_PAGE, 80)
+    b = extract_main_ex(ARTICLE_PAGE, 80)
+    assert a == b
+
+
+def test_extract_main_node_tie_breaks_document_order():
+    """Two identical-scoring candidates → the earlier one wins."""
+    page = (
+        b"<html><body>"
+        b"<div><p>twin paragraph content, with a comma, same mass here.</p></div>"
+        b"<div><p>twin paragraph content, with a comma, same mass here.</p></div>"
+        b"</body></html>"
+    )
+    dom = parse_html(page)
+    winner, info = extract_main_node(dom)
+    assert winner.kind == "element" and winner.name == "div"
+    divs = [
+        c
+        for c in winner.parent.children
+        if c.kind == "element" and c.name == "div"
+    ]
+    assert len(divs) == 2 and winner is divs[0]
+
+
+def test_spark_extract_pages_matches_engine(spark):
+    """The Spark operator must reproduce the single-process extraction per
+    url (the same invariant render_pages holds)."""
+    from rust_html2text_spark.engine.extract import extract_main_ex as ex
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(80)
+    inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    got = {r["url"]: r for r in extract_pages(pages, width=80).collect()}
+    assert set(got) == set(inputs)
+    for url, html in inputs.items():
+        want = ex(html, 80)
+        assert got[url]["text"] == want["text"], url
+        assert got[url]["winner_tag"] == want["winner_tag"]
+        assert got[url]["error"] is None
+
+
+def test_spark_extract_error_rows_not_task_failures(spark):
+    from rust_html2text_spark.operators.extract import extract_pages
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<p>fine content here, with a comma</p>")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in extract_pages(df, width=80).collect()}
+    assert rows["u1"]["error"] == "NullInput"
+    assert rows["u2"]["error"] is None and "fine content" in rows["u2"]["text"]
+
+
+def test_render_pages_null_html_with_outlier_routing(spark):
+    """Regression (found via extract_pages): NULL-html rows must produce
+    NullInput error rows, not vanish from both outlier-filter branches."""
+    from rust_html2text_spark.operators.render import render_pages
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<p>ok</p>")], "url string, html binary"
+    )
+    for ob in (1 << 20, None):
+        rows = {r["url"]: r for r in render_pages(df, width=80, outlier_bytes=ob).collect()}
+        assert rows["u1"]["error"] == "NullInput", f"outlier_bytes={ob}"
+        assert rows["u2"]["error"] is None
