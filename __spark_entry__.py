@@ -62,6 +62,19 @@ def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout parse: deterministic synthetic PDF corpus → structure
+    parse (xref tables AND xref streams/ObjStm, Flate) → content-stream
+    interpretation → reading-order text.  Oracle: the same extraction
+    precomputed single-process (goldens pdf_* columns)."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    pages = pdf_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_pdf_pages(pages).select("url", "text", "error", "n_pages")
+
+
 def q_render_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_html2text_spark.operators.render import render_pages
     from rust_html2text_spark.sources.corpus import load_pages
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "render_flagship": q_render_flagship,
         "extract_main": q_extract_main,
+        "pdf_extract": q_pdf_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
         "render_dedup": q_render_dedup,
@@ -946,6 +960,12 @@ def oracle_sql() -> dict[str, str]:
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
+        "pdf_extract": (
+            "SELECT 'https://www.' || d.source || '.example.com/pdf/' || "
+            "CAST(d.doc_id AS VARCHAR) AS url, g.pdf_text AS text, "
+            "g.pdf_error AS error, g.pdf_n_pages AS n_pages "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "render_dedup": f"SELECT url, text, error FROM ({_RENDERED})",

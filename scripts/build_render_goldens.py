@@ -41,10 +41,12 @@ def build_rows(sf_dir: str) -> list[dict]:
     from rust_html2text_spark.engine.api import html_to_lines, html_to_text
     from rust_html2text_spark.engine.errors import RenderError
     from rust_html2text_spark.engine.extract import extract_main_ex
+    from rust_html2text_spark.engine.pdftext import PdfError, extract_pdf_ex
     from rust_html2text_spark.sources.corpus import (
         synthesize_chrome_page_py,
         synthesize_page_py,
     )
+    from rust_html2text_spark.sources.pdfcorpus import build_pdf
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
@@ -89,6 +91,14 @@ def build_rows(sf_dir: str) -> list[dict]:
         except Exception as e:
             main_text, main_error = None, f"Fail:{type(e).__name__}"
             main_winner, main_score = None, None
+        # PDF lane: deterministic writer + structure/layout extractor
+        try:
+            pex = extract_pdf_ex(build_pdf(doc_id, text, source))
+            pdf_text, pdf_error, pdf_n_pages = pex["text"], None, pex["n_pages"]
+        except PdfError as e:
+            pdf_text, pdf_error, pdf_n_pages = None, f"PdfError:{e}"[:200], 0
+        except Exception as e:
+            pdf_text, pdf_error, pdf_n_pages = None, f"Fail:{type(e).__name__}", 0
         rows.append(
             {
                 "doc_key": key,
@@ -102,6 +112,9 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "main_error": main_error,
                 "main_winner_tag": main_winner,
                 "main_score": main_score,
+                "pdf_text": pdf_text,
+                "pdf_error": pdf_error,
+                "pdf_n_pages": pdf_n_pages,
             }
         )
     return rows
@@ -135,6 +148,9 @@ def main() -> None:
                 ("main_error", pa.string()),
                 ("main_winner_tag", pa.string()),
                 ("main_score", pa.float64()),
+                ("pdf_text", pa.string()),
+                ("pdf_error", pa.string()),
+                ("pdf_n_pages", pa.int64()),
             ]
         ),
     )

@@ -1,0 +1,551 @@
+"""PDF extraction tier (engine/pdfparse.py, engine/pdftext.py,
+sources/pdfcorpus.py, operators/pdf.py): object grammar, filters, both
+xref flavours, ObjStm, fonts/ToUnicode, layout assembly, writer round
+trips, hostile-input robustness, and Spark-operator parity."""
+
+from __future__ import annotations
+
+import re
+import sys
+import zlib
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from rust_html2text_spark.engine.pdfparse import (  # noqa: E402
+    Lexer,
+    Name,
+    PdfError,
+    Ref,
+    decode_stream,
+    parse_pdf,
+)
+from rust_html2text_spark.engine.pdftext import (  # noqa: E402
+    extract_pdf_ex,
+    extract_pdf_text,
+    parse_tounicode,
+)
+from rust_html2text_spark.sources.pdfcorpus import build_pdf  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# Object grammar
+# ---------------------------------------------------------------------------
+
+
+def parse_one(src: bytes):
+    return Lexer(src).parse_object()
+
+
+def test_lexer_scalars():
+    assert parse_one(b" 42 ") == 42
+    assert parse_one(b"-3.5") == -3.5
+    assert parse_one(b".5") == 0.5
+    assert parse_one(b"true") is True
+    assert parse_one(b"false") is False
+    assert parse_one(b"null") is None
+
+
+def test_lexer_names_with_hash_escape():
+    assert parse_one(b"/Foo") == Name("Foo")
+    assert parse_one(b"/A#20B") == Name("A B")
+    assert parse_one(b"/Type1") == Name("Type1")
+
+
+def test_lexer_literal_strings():
+    assert parse_one(rb"(hello)") == b"hello"
+    assert parse_one(rb"(a(nested)b)") == b"a(nested)b"
+    assert parse_one(rb"(tab\there)") == b"tab\there"
+    assert parse_one(rb"(oct\101al)") == b"octAal"
+    assert parse_one(rb"(esc\(paren)") == b"esc(paren"
+    assert parse_one(b"(line\\\ncontinued)") == b"linecontinued"
+    with pytest.raises(PdfError):
+        parse_one(b"(unterminated")
+
+
+def test_lexer_hex_strings():
+    assert parse_one(b"<48656C6C6F>") == b"Hello"
+    assert parse_one(b"<48 65 6C>") == b"Hel"
+    assert parse_one(b"<481>") == b"H\x10"  # odd digit padded with 0
+
+
+def test_lexer_dict_array_ref():
+    d = parse_one(b"<< /A [1 2 R 3] /B << /C (x) >> /D 4 0 R >>")
+    assert d["A"] == [1, Ref(2, 3)] or d["A"] == [Ref(1, 2), 3]
+    # `1 2 R 3` parses as ref(1,2) then 3 per the grammar
+    assert d["A"] == [Ref(1, 2), 3]
+    assert d["B"] == {"C": b"x"}
+    assert d["D"] == Ref(4, 0)
+
+
+def test_lexer_comments_skipped():
+    assert parse_one(b"% comment\n 7") == 7
+
+
+# ---------------------------------------------------------------------------
+# Filters
+# ---------------------------------------------------------------------------
+
+
+class FakeStream:
+    def __init__(self, d, raw):
+        self.dict = d
+        self.raw = raw
+
+
+def test_flate_filter():
+    s = FakeStream({"Filter": Name("FlateDecode")}, zlib.compress(b"payload"))
+    assert decode_stream(s) == b"payload"
+
+
+def test_flate_png_up_predictor():
+    rows = [b"abcd", b"abce", b"abcf"]
+    # encode with PNG Up filter
+    enc = bytearray()
+    prev = b"\x00" * 4
+    for r in rows:
+        enc.append(2)
+        enc.extend((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    s = FakeStream(
+        {
+            "Filter": Name("FlateDecode"),
+            "DecodeParms": {"Predictor": 12, "Columns": 4},
+        },
+        zlib.compress(bytes(enc)),
+    )
+    assert decode_stream(s) == b"".join(rows)
+
+
+def test_ascii_hex_and_85():
+    s = FakeStream({"Filter": Name("ASCIIHexDecode")}, b"48 65 6c 6C 6f>")
+    assert decode_stream(s) == b"Hello"
+    import base64
+
+    s = FakeStream(
+        {"Filter": Name("ASCII85Decode")},
+        base64.a85encode(b"Hello world") + b"~>",
+    )
+    assert decode_stream(s) == b"Hello world"
+
+
+def test_run_length_filter():
+    #  literal run of 3 ("abc"), repeat 'x' 4 times, EOD
+    data = bytes([2]) + b"abc" + bytes([253]) + b"x" + bytes([128])
+    s = FakeStream({"Filter": Name("RunLengthDecode")}, data)
+    assert decode_stream(s) == b"abcxxxx"
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal PDF-flavour LZW encoder (EarlyChange=1) for round trips."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_len = 9
+    out_bits = []
+
+    def emit(code):
+        out_bits.append((code, code_len))
+
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code + 1 - 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+            w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code, clen in out_bits:
+        acc = (acc << clen) | code
+        nbits += clen
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_round_trip():
+    payload = b"TOBEORNOTTOBEORTOBEORNOT" * 20
+    s = FakeStream({"Filter": Name("LZWDecode")}, _lzw_encode(payload))
+    assert decode_stream(s) == payload
+
+
+def test_filter_chain():
+    raw = zlib.compress(b"chained")
+    s = FakeStream(
+        {"Filter": [Name("ASCIIHexDecode"), Name("FlateDecode")]},
+        raw.hex().encode() + b">",
+    )
+    assert decode_stream(s) == b"chained"
+
+
+def test_unknown_filter_raises():
+    s = FakeStream({"Filter": Name("DCTDecode")}, b"\xff\xd8")
+    with pytest.raises(PdfError):
+        decode_stream(s)
+
+
+# ---------------------------------------------------------------------------
+# Document structure
+# ---------------------------------------------------------------------------
+
+
+def test_writer_round_trip_all_variants():
+    """doc_id parity drives xref flavour; %3 drives compression — all
+    combos must round-trip the body through the extractor."""
+    body = "the quick brown fox, jumps over the lazy dog, repeatedly and often"
+    for did in range(6):
+        pdf = build_pdf(did, body, "srcA")
+        r = extract_pdf_ex(pdf)
+        assert r["n_pages"] == 1
+        assert "the quick brown fox, jumps over" in r["text"], did
+        assert r["pdf_version"] == "1.7"
+
+
+def test_writer_deterministic():
+    a = build_pdf(9, "same input", "srcB")
+    b = build_pdf(9, "same input", "srcB")
+    assert a == b
+
+
+def test_layout_reading_order():
+    """Footer is FIRST in the content stream but must come out LAST;
+    header runs (two show ops, one baseline) come out first, joined."""
+    pdf = build_pdf(4, "body content line, with a comma", "srcC")
+    lines = extract_pdf_text(pdf).split("\n")
+    assert lines[0] == "The srcC journal https://www.srcC.example.com/pdf/4"
+    assert lines[1] == "Doc 4 [srcC]"  # TJ kern produced the word gap
+    assert lines[-1] == "Page 1 of 1 - doc 4"
+    assert "body content line" in lines[2]
+
+
+def test_multi_page_and_form_feeds():
+    text = " ".join(f"w{i}" for i in range(3000))
+    r = extract_pdf_ex(build_pdf(8, text, "srcD"))
+    assert r["n_pages"] > 1
+    assert r["text"].count("\f") == r["n_pages"] - 1
+    pages = r["text"].split("\f")
+    for i, page in enumerate(pages):
+        assert page.splitlines()[-1].startswith(f"Page {i + 1} of {r['n_pages']}")
+
+
+def test_non_ascii_identity_h_tounicode():
+    r = extract_pdf_ex(build_pdf(5, "Привет мир 你好世界 naïve café", "src1"))
+    body = r["text"].split("\n")[2]
+    assert body == "Привет мир 你好世界 naïve café"
+
+
+def test_winansi_literal_bytes():
+    # é is 0xE9 in cp1252; writer keeps the line in the F1 WinAnsi lane
+    r = extract_pdf_ex(build_pdf(2, "café crème, naïve", "srcE"))
+    assert "café crème, naïve" in r["text"]
+
+
+def test_incremental_update_newest_wins():
+    """Append an updated content stream + xref section pointing at it;
+    the reader must show the NEW text (newest definition wins)."""
+    pdf = build_pdf(0, "original body text here", "srcF")
+    # object 8 is the (only) page's content stream in the classic layout
+    m = re.search(rb"(\d+) 0 obj\n<< /Filter /FlateDecode", pdf)
+    content_num = int(m.group(1))
+    new_content = zlib.compress(b"BT /F1 12 Tf 72 700 Td (REPLACED BODY) Tj ET")
+    prev_xref = int(re.search(rb"startxref\n(\d+)", pdf).group(1))
+    add = bytearray()
+    off = len(pdf)
+    add += b"%d 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n" % (
+        content_num,
+        len(new_content),
+    )
+    add += new_content + b"\nendstream\nendobj\n"
+    xref_pos = off + len(add)
+    add += b"xref\n%d 1\n%010d 00000 n \ntrailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n" % (
+        content_num,
+        off,
+        content_num + 1,
+        prev_xref,
+        xref_pos,
+    )
+    updated = pdf + bytes(add)
+    text = extract_pdf_text(updated)
+    assert "REPLACED BODY" in text
+    assert "original body text" not in text
+
+
+def test_brute_scan_recovers_broken_startxref():
+    for did in (0, 1):  # classic and xref-stream flavours
+        pdf = build_pdf(did, "recovery test content here", "srcX")
+        broken = re.sub(rb"startxref\n\d+", b"startxref\n999999999", pdf)
+        r = extract_pdf_ex(broken)
+        assert "recovery test content" in r["text"], did
+
+
+def test_truncated_pdf_is_error_not_crash():
+    pdf = build_pdf(0, "some body", "srcY")
+    for cut in (10, 100, len(pdf) // 2):
+        try:
+            extract_pdf_ex(pdf[:cut])
+        except PdfError:
+            pass  # either outcome is fine; no other exception type
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError):
+        parse_pdf(b"<html>not a pdf</html>")
+    with pytest.raises(PdfError):
+        parse_pdf(b"%PDF-1.7\ngarbage with no objects")
+
+
+def test_encrypted_pdf_rejected():
+    pdf = build_pdf(0, "secret", "srcZ")
+    # splice /Encrypt into the trailer
+    broken = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with pytest.raises(PdfError, match="encrypt"):
+        parse_pdf(broken)
+
+
+def test_page_tree_inheritance():
+    """Resources live on the /Pages node in the writer — the extractor
+    must inherit them into each page (watch for regressions if the
+    writer ever changes)."""
+    pdf = build_pdf(0, "inheritance check", "srcI")
+    doc = parse_pdf(pdf)
+    page = doc.pages()[0]
+    assert "Resources" in page  # folded in by inheritance
+    assert "Font" in doc.resolve(page["Resources"])
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode / fonts
+# ---------------------------------------------------------------------------
+
+
+def test_parse_tounicode_bfchar_and_ranges():
+    cmap = b"""
+2 beginbfchar
+<0041> <0061>
+<0042> <00660066>
+endbfchar
+1 beginbfrange
+<0050> <0052> <0070>
+endbfrange
+1 beginbfrange
+<0060> <0061> [<0078> <0079>]
+endbfrange
+"""
+    m = parse_tounicode(cmap)
+    assert m[0x41] == "a"
+    assert m[0x42] == "ff"  # multi-char destination
+    assert m[0x50] == "p" and m[0x51] == "q" and m[0x52] == "r"
+    assert m[0x60] == "x" and m[0x61] == "y"
+
+
+def test_tounicode_range_bomb_bounded():
+    cmap = b"1 beginbfrange\n<0000> <FFFFFF> <0000>\nendbfrange"
+    m = parse_tounicode(cmap)
+    assert len(m) <= 0x10001  # hostile range clamped
+
+
+def _minimal_pdf(content: bytes, font_extra: str = "") -> bytes:
+    """Hand-rolled single-page PDF with an uncompressed content stream."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>"
+        ),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica %s >>"
+            % font_extra.encode()
+        ),
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    offs = []
+    for i, o in enumerate(objs, 1):
+        offs.append(len(buf))
+        buf += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offs:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF" % (
+        len(objs) + 1,
+        xref,
+    )
+    return bytes(buf)
+
+
+def test_differences_encoding():
+    content = b"BT /F1 12 Tf 72 700 Td (a\x01b) Tj ET"
+    pdf = _minimal_pdf(
+        content,
+        "/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [1 /emdash] >>",
+    )
+    assert extract_pdf_text(pdf) == "a—b"
+
+
+def test_word_spacing_via_tw():
+    # Tw applies to byte 32 in simple fonts; also exercises " operator
+    content = b'BT /F1 12 Tf 12 TL 72 700 Td 20 0 (A B) " ET'
+    assert extract_pdf_text(_minimal_pdf(content)) == "A B"
+
+
+def test_tj_small_kern_no_space():
+    content = b"BT /F1 12 Tf 72 700 Td [(Ker) -20 (ning)] TJ ET"
+    assert extract_pdf_text(_minimal_pdf(content)) == "Kerning"
+
+
+def test_separate_bt_blocks_same_line_gap_space():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (left) Tj ET\n"
+        b"BT /F1 12 Tf 200 700 Td (right) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "left right"
+
+
+def test_cm_scaling_affects_position():
+    # body scaled 2x via cm — lines at text-space y 300/280 land at 600/560
+    content = (
+        b"q 2 0 0 2 0 0 cm BT /F1 10 Tf 36 350 Td (top) Tj ET Q\n"
+        b"BT /F1 10 Tf 72 300 Td (bottom) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "top\nbottom"
+
+
+def test_q_restore_resets_ctm():
+    content = (
+        b"q 0.5 0 0 0.5 0 0 cm Q\n"
+        b"BT /F1 10 Tf 72 700 Td (unscaled) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "unscaled"
+
+
+def test_inline_image_skipped():
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01EI garbage EI\n"
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET"
+    )
+    text = extract_pdf_text(_minimal_pdf(content))
+    assert "before" in text and "after" in text
+
+
+def test_garbage_content_stream_no_crash():
+    content = b"\x00\xff BT (open ( paren ET ] >> [[[ 1 2 3 zzz"
+    extract_pdf_text(_minimal_pdf(content))  # must not raise
+
+
+def test_content_stream_loop_bomb_terminates():
+    # a million T* ops: interpreter must finish (step cap) quickly
+    content = b"BT /F1 2 Tf 72 700 Td 1 TL " + b"T* " * 100_000 + b"ET"
+    extract_pdf_text(_minimal_pdf(content))
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz: robustness + determinism
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_mutated_pdfs_never_crash():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = build_pdf(3, "fuzz body content, words words", "srcM")
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        pos2=st.integers(0, len(base) - 1),
+        val2=st.integers(0, 255),
+    )
+    def run(pos, val, pos2, val2):
+        mutated = bytearray(base)
+        mutated[pos] = val
+        mutated[pos2] = val2
+        mutated = bytes(mutated)
+        try:
+            a = extract_pdf_ex(mutated)
+        except PdfError:
+            return
+        b = extract_pdf_ex(mutated)
+        assert a == b  # deterministic
+
+    run()
+
+
+def test_fuzz_random_bytes_never_crash():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(blob=st.binary(min_size=0, max_size=2000))
+    def run(blob):
+        data = b"%PDF-1.4\n" + blob
+        try:
+            extract_pdf_ex(data)
+        except PdfError:
+            pass
+
+    run()
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def test_spark_pdf_extract_matches_engine(spark):
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    pages = pdf_pages_from_documents(load_documents(spark, SF_DIR)).limit(60)
+    inputs = {r["url"]: bytes(r["pdf"]) for r in pages.collect()}
+    got = {r["url"]: r for r in extract_pdf_pages(pages).collect()}
+    assert set(got) == set(inputs)
+    for url, pdf in inputs.items():
+        want = extract_pdf_ex(pdf)
+        assert got[url]["text"] == want["text"], url
+        assert got[url]["n_pages"] == want["n_pages"]
+        assert got[url]["error"] is None
+
+
+def test_spark_pdf_error_rows_not_task_failures(spark):
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+
+    ok = build_pdf(1, "valid pdf body", "srcS")
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"not a pdf at all"), ("u3", ok), ("u4", ok[:40])],
+        "url string, pdf binary",
+    )
+    rows = {r["url"]: r for r in extract_pdf_pages(df).collect()}
+    assert rows["u1"]["error"] == "NullInput"
+    assert rows["u2"]["error"] is not None
+    assert rows["u3"]["error"] is None and "valid pdf body" in rows["u3"]["text"]
+    assert rows["u4"]["error"] is not None
