@@ -114,6 +114,52 @@ def main() -> None:
                 assert nd["n"] == n_docs
             timings[key] = round(best, 3)
 
+        # extraction-tier lanes: main-content extraction (boilerplate
+        # strip + DOM scoring + render) and PDF/layout parse — both at
+        # half-mult (each kernel runs ~60% of the plain render's rate,
+        # the lanes should not dominate the bench wall)
+        from rust_html2text_spark.operators.extract import extract_pages
+        from rust_html2text_spark.operators.pdf import extract_pdf_pages
+        from rust_html2text_spark.sources.corpus import (
+            chrome_pages_from_documents,
+            load_documents,
+        )
+        from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+        ex_mult = int(os.environ.get("SPARK_GRAFT_EXTRACT_MULT", str(max(1, mult // 2))))
+        docs_df = load_documents(spark, sf_dir)
+        lane_specs = (
+            ("extract_main", chrome_pages_from_documents(docs_df), extract_pages, {"width": 80}),
+            ("pdf_extract", pdf_pages_from_documents(docs_df).withColumnRenamed("pdf", "html"), None, {}),
+        )
+        extract_rates: dict[str, float] = {}
+        for lane, src_df, op, kw in lane_specs:
+            lane_path = os.path.join(tmp, f"{lane}.parquet")
+            expand_pages(src_df, ex_mult).repartition(64).write.mode(
+                "overwrite"
+            ).parquet(lane_path)
+            lane_pages = spark.read.parquet(lane_path)
+            if lane == "pdf_extract":
+                lane_pages = lane_pages.withColumnRenamed("html", "pdf")
+                op = extract_pdf_pages
+                kw = {}
+            n_lane = lane_pages.count()
+            op(lane_pages.limit(64), **kw).count()  # warmup
+            best = None
+            for _pass in range(2):
+                t0 = time.monotonic()
+                st = op(lane_pages, **kw).agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.when(F.col("error").isNull(), 0).otherwise(1)
+                    ).alias("err"),
+                ).collect()[0]
+                sec = time.monotonic() - t0
+                best = sec if best is None else min(best, sec)
+                assert st["n"] == n_lane and st["err"] == 0, (lane, st)
+            timings[lane] = round(best, 3)
+            extract_rates[lane] = round(n_lane / best, 1)
+
         # secondary headline queries (JVM-side pipeline ops), best of 2
         for name in (
             "token_count",
@@ -187,6 +233,8 @@ def main() -> None:
                     "html_mb": round(total_html_mb, 2),
                     "docs_per_sec": round(n_docs / render_sec, 1),
                     "mb_per_sec": round(total_html_mb / render_sec, 2),
+                    "extract_docs_per_sec": extract_rates.get("extract_main"),
+                    "pdf_docs_per_sec": extract_rates.get("pdf_extract"),
                     "render_errors": int(stats["err"]),
                     "dedup_graph_rounds": graph_stats.get("rounds"),
                     "chain4096_rounds": chain_stats.get("rounds"),

@@ -187,6 +187,31 @@ def test_spark_extract_pages_matches_engine(spark):
         assert got[url]["error"] is None
 
 
+def test_extract_scan_pruned_to_url_html(spark, tmp_path):
+    """Column pruning must reach the parquet scan (same invariant as
+    render_pages: a 2-column kernel over a 5-column table must not drag
+    text/lang/warc_ts through the 100 TB scan)."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    p = str(tmp_path / "chromepages")
+    chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(
+        40
+    ).write.parquet(p)
+    df = extract_pages(spark.read.parquet(p), width=80)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "no parquet scan in plan"
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "url" in schema and "html" in schema
+        for unwanted in ("text", "lang", "warc_ts"):
+            assert unwanted not in schema, line
+
+
 def test_spark_extract_error_rows_not_task_failures(spark):
     from rust_html2text_spark.operators.extract import extract_pages
 

@@ -536,6 +536,30 @@ def test_spark_pdf_extract_matches_engine(spark):
         assert got[url]["error"] is None
 
 
+def test_pdf_scan_pruned_to_url_pdf(spark, tmp_path):
+    """Column pruning must reach the parquet scan: extracting from a wide
+    PDF pages table may read ONLY url+pdf (PDF payloads dominate row
+    size; dragging text/lang/warc_ts through the scan too multiplies
+    bytes at crawl scale)."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    p = str(tmp_path / "pdfpages")
+    pdf_pages_from_documents(load_documents(spark, SF_DIR)).limit(
+        40
+    ).write.parquet(p)
+    df = extract_pdf_pages(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, "no parquet scan in plan"
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "url" in schema and "pdf" in schema
+        for unwanted in ("text", "lang", "warc_ts"):
+            assert unwanted not in schema, line
+
+
 def test_spark_pdf_error_rows_not_task_failures(spark):
     from rust_html2text_spark.operators.pdf import extract_pdf_pages
 
