@@ -95,9 +95,25 @@ def run_with_resume(
     num_buckets: int = 16,
     config_kwargs: dict | None = None,
     render_kwargs: dict | None = None,
+    operator=None,
+    bytes_col: str = "html_bytes",
 ) -> dict:
-    """Render all pending buckets; returns summary lineage."""
+    """Run all pending buckets through `operator` (default: the full
+    render); returns summary lineage.  `operator` is any DataFrame →
+    DataFrame extraction whose output has url/error/text_bytes plus an
+    input-size column named `bytes_col` (render/extract: html_bytes,
+    pdf: pdf_bytes) — the whole idempotent-resume + lineage-metrics
+    machinery is shared across the extraction tier."""
     from rust_html2text_spark.operators.render import render_pages
+
+    if operator is None:
+        def operator(part):
+            return render_pages(
+                part,
+                width=width,
+                config_kwargs=config_kwargs,
+                render_kwargs=render_kwargs,
+            )
 
     os.makedirs(_manifest_dir(out_path), exist_ok=True)
     done = completed_buckets(out_path)
@@ -110,12 +126,7 @@ def run_with_resume(
         if b in done:
             continue
         part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-        rendered = render_pages(
-            part,
-            width=width,
-            config_kwargs=config_kwargs,
-            render_kwargs=render_kwargs,
-        )
+        rendered = operator(part)
         bucket_path = os.path.join(out_path, f"bucket={b}")
         rendered.write.mode("overwrite").parquet(bucket_path)
 
@@ -131,7 +142,7 @@ def run_with_resume(
                 F.sum(
                     F.when(F.col("error").isNull(), 0).otherwise(1)
                 ).alias("errors"),
-                F.sum("html_bytes").alias("html_bytes"),
+                F.sum(bytes_col).alias("html_bytes"),
                 F.sum("text_bytes").alias("text_bytes"),
             )
             .withColumn("bucket", F.lit(b))

@@ -38,6 +38,14 @@ def build_parser() -> argparse.ArgumentParser:
         "'auto' picks warc when --input looks like WARC files",
     )
     # main.rs:286-291 (-w/--width), 292-297 (-W/--wrap-width)
+    ap.add_argument(
+        "--mode",
+        default="render",
+        choices=["render", "extract", "pdf"],
+        help="render: full-document HTML→text; extract: main-content "
+        "extraction (boilerplate strip + DOM heuristics); pdf: PDF/layout "
+        "parse (input column `pdf` instead of `html`)",
+    )
     ap.add_argument("-w", "--width", type=int, default=80)
     ap.add_argument(
         "-W",
@@ -206,7 +214,18 @@ def main() -> None:
         if not row:
             print("url not found", file=sys.stderr)
             sys.exit(1)
+        if args.mode == "pdf":
+            from rust_html2text_spark.engine.pdftext import extract_pdf_text
+
+            print(extract_pdf_text(bytes(row[0]["pdf"])))
+            return
         html = bytes(row[0]["html"])
+        if args.mode == "extract" and args.show_text:
+            from rust_html2text_spark.engine.api import Config
+            from rust_html2text_spark.engine.extract import extract_main
+
+            print(extract_main(html, args.width, Config(**config_kwargs)))
+            return
         from rust_html2text_spark.engine.api import (
             Config,
             html_to_coloured,
@@ -275,14 +294,35 @@ def main() -> None:
         spark.stop()
         return
 
+    operator = None
+    bytes_col = "html_bytes"
+    if args.mode == "extract":
+        from rust_html2text_spark.operators.extract import extract_pages
+
+        def operator(part):
+            return extract_pages(
+                part, width=args.width, config_kwargs=config_kwargs, salt=args.salt
+            )
+
+    elif args.mode == "pdf":
+        from rust_html2text_spark.operators.pdf import extract_pdf_pages
+
+        bytes_col = "pdf_bytes"
+
+        def operator(part):
+            return extract_pdf_pages(part, salt=args.salt)
+
     if args.explain:
-        render_pages(
-            pages,
-            width=args.width,
-            config_kwargs=config_kwargs,
-            salt=args.salt,
-            render_kwargs=render_kwargs,
-        ).explain("formatted")
+        if operator is not None:
+            operator(pages).explain("formatted")
+        else:
+            render_pages(
+                pages,
+                width=args.width,
+                config_kwargs=config_kwargs,
+                salt=args.salt,
+                render_kwargs=render_kwargs,
+            ).explain("formatted")
         return
 
     summary = run_with_resume(
@@ -292,6 +332,8 @@ def main() -> None:
         num_buckets=args.buckets,
         config_kwargs=config_kwargs,
         render_kwargs=render_kwargs,
+        operator=operator,
+        bytes_col=bytes_col,
     )
     print(summary)
     spark.stop()

@@ -224,6 +224,32 @@ def test_spark_extract_error_rows_not_task_failures(spark):
     assert rows["u2"]["error"] is None and "fine content" in rows["u2"]["text"]
 
 
+def test_sink_resume_with_extract_operator(spark, tmp_path):
+    """run_with_resume generalizes over the extraction tier: the same
+    idempotent-bucket + lineage-metrics machinery drives extract_pages
+    (CLI --mode extract)."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.sources.sink import completed_buckets, run_with_resume
+
+    pages = chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(40).cache()
+    out = str(tmp_path / "out")
+    s1 = run_with_resume(
+        pages, out, num_buckets=3, operator=lambda p: extract_pages(p, width=80)
+    )
+    assert s1["buckets_skipped"] == 0 and completed_buckets(out) == {0, 1, 2}
+    got = spark.read.parquet(f"{out}/bucket=*")
+    assert got.count() == 40
+    assert "winner_tag" in got.columns  # extract schema, not render schema
+    s2 = run_with_resume(
+        pages, out, num_buckets=3, operator=lambda p: extract_pages(p, width=80)
+    )
+    assert s2["buckets_skipped"] == 3 and s2["rows"] == 0
+
+
 def test_render_pages_null_html_with_outlier_routing(spark):
     """Regression (found via extract_pages): NULL-html rows must produce
     NullInput error rows, not vanish from both outlier-filter branches."""

@@ -560,6 +560,33 @@ def test_pdf_scan_pruned_to_url_pdf(spark, tmp_path):
             assert unwanted not in schema, line
 
 
+def test_sink_resume_with_pdf_operator(spark, tmp_path):
+    """CLI --mode pdf path: run_with_resume drives extract_pdf_pages with
+    pdf_bytes as the lineage input-size column."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+    from rust_html2text_spark.sources.sink import run_with_resume
+
+    pages = pdf_pages_from_documents(load_documents(spark, SF_DIR)).limit(30).cache()
+    out = str(tmp_path / "out")
+    s1 = run_with_resume(
+        pages,
+        out,
+        num_buckets=2,
+        operator=extract_pdf_pages,
+        bytes_col="pdf_bytes",
+    )
+    assert s1["buckets_skipped"] == 0 and s1["rows"] == 30
+    import json as _json
+
+    man = _json.loads((tmp_path / "out/_manifest/0.json").read_text())
+    assert man["html_bytes"] > 0  # manifest input-bytes fed from pdf_bytes
+    got = spark.read.parquet(f"{out}/bucket=*")
+    assert got.count() == 30 and "n_pages" in got.columns
+    assert got.filter("error is not null").count() == 0
+
+
 def test_spark_pdf_error_rows_not_task_failures(spark):
     from rust_html2text_spark.operators.pdf import extract_pdf_pages
 
