@@ -62,6 +62,34 @@ def q_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content link graph: (url, ordinal, href, anchor) with chrome
+    nav/footer/sidebar edges dropped by the boilerplate strip — the
+    content-to-content edge list a link-quality prior consumes."""
+    from rust_html2text_spark.operators.extract import extract_links
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_links(pages)
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head metadata (title/description/lang claim/canonical/og:title) —
+    the dropped-by-design half of the render path, extracted for dedup
+    keys and language-routing audits."""
+    from rust_html2text_spark.operators.extract import page_metadata_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, sf_dir))
+    return page_metadata_pages(pages)
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF/layout parse: deterministic synthetic PDF corpus → structure
     parse (xref tables AND xref streams/ObjStm, Flate) → content-stream
@@ -690,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "render_flagship": q_render_flagship,
         "extract_main": q_extract_main,
+        "extract_links": q_extract_links,
+        "page_metadata": q_page_metadata,
         "pdf_extract": q_pdf_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
@@ -966,6 +996,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'https://www.' || d.source || '.example.com/pdf/' || "
             "CAST(d.doc_id AS VARCHAR) AS url, g.pdf_text AS text, "
             "g.pdf_error AS error, g.pdf_n_pages AS n_pages "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
+        "extract_links": (
+            "SELECT q.url AS url, u.ordinal AS ordinal, u.href AS href, "
+            "u.anchor AS anchor FROM (SELECT g.url, g.main_links "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+            ") q, UNNEST(q.main_links) AS t(u)"
+        ),
+        "page_metadata": (
+            "SELECT g.url, g.meta_title AS title, "
+            "g.meta_description AS description, g.meta_lang AS lang_attr, "
+            "g.meta_canonical AS canonical, g.meta_og_title AS og_title, "
+            "CAST(NULL AS VARCHAR) AS error "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "render_dedup": f"SELECT url, text, error FROM ({_RENDERED})",

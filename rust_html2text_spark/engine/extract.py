@@ -236,6 +236,54 @@ def _wrap_as_document(winner: DomNode) -> DomNode:
     return doc
 
 
+def _collapse_ws(s: str) -> str:
+    return " ".join(s.split())
+
+
+def links_from_node(node: DomNode) -> list[tuple[int, str, str]]:
+    """All <a href> links under `node` in document order:
+    (ordinal, href, whitespace-collapsed anchor text).  Anchors without
+    an href (targets) are skipped; nested text (em/img alt/...) flattens
+    into the anchor string the same way the renderer flattens it."""
+    out: list[tuple[int, str, str]] = []
+
+    def anchor_text(n: DomNode) -> str:
+        if n.kind == "text":
+            return n.text or ""
+        if n.kind == "element" and (n.name or "").lower() == "img":
+            return n.attrs.get("alt", "")
+        return "".join(anchor_text(c) for c in n.children)
+
+    def walk(n: DomNode) -> None:
+        if n.kind == "element" and (n.name or "").lower() == "a":
+            href = n.attrs.get("href")
+            if href is not None:
+                out.append((len(out), href, _collapse_ws(anchor_text(n))))
+                return  # links don't nest (the parser un-nests <a>)
+        for c in n.children:
+            walk(c)
+
+    walk(node)
+    return out
+
+
+def extract_main_links(html: bytes | str, config=None) -> list[tuple[int, str, str]]:
+    """Outbound links of the MAIN content only (the crawl-graph edges a
+    curation pipeline wants — chrome/nav/footer links are exactly the
+    noise this tier exists to drop).  Same strip+score pass as
+    extract_main; no rendering."""
+    from .api import _free_dom, plain_config
+
+    if config is None:
+        config = plain_config()
+    dom = parse_html(html, xml_mode=config.xml)
+    try:
+        winner, _ = extract_main_node(dom)
+        return links_from_node(winner)
+    finally:
+        _free_dom(dom)
+
+
 def extract_main(html: bytes | str, width: int = 80, config=None) -> str:
     """Parse → strip boilerplate → pick the main-content subtree → render
     it with the normal engine pipeline.  Raises the same RenderError

@@ -106,6 +106,154 @@ def _extract_batch_fn(width: int, config_kwargs: dict):
     return extract_batches
 
 
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ordinal", LongType()),
+        StructField("href", StringType()),
+        StructField("anchor", StringType()),
+    ]
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("lang_attr", StringType()),
+        StructField("canonical", StringType()),
+        StructField("og_title", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _links_batch_fn(config_kwargs: dict):
+    def links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+
+        from rust_html2text_spark.engine.api import Config, plain_config
+        from rust_html2text_spark.engine.extract import extract_main_links
+
+        config = Config(**config_kwargs) if config_kwargs else plain_config()
+        for batch in batches:
+            out = {"url": [], "ordinal": [], "href": [], "anchor": []}
+            for url, html in zip(batch["url"], batch["html"]):
+                if html is None:
+                    continue
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                try:
+                    links = extract_main_links(html, config)
+                except Exception:
+                    continue  # unparseable page contributes no edges
+                for o, href, anchor in links:
+                    out["url"].append(url)
+                    out["ordinal"].append(o)
+                    out["href"].append(href)
+                    out["anchor"].append(anchor)
+            yield pd.DataFrame(out)
+
+    return links_batches
+
+
+def extract_links(
+    df: DataFrame,
+    config_kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    repartition: str = "salted",
+) -> DataFrame:
+    """Crawl-graph edges of the MAIN content: (url, ordinal, href, anchor)
+    — chrome/nav/footer links are dropped by the same strip+score pass as
+    extract_pages, so the edge list is content-to-content (what a link-
+    graph quality signal like a PageRank-ish prior wants; boilerplate
+    edges are exactly the noise).  Variable rows per input page; salted
+    url-hash partitioning matches the rest of the tier."""
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
+    pages = df.select("url", "html")
+    if repartition == "salted":
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
+    return pages.mapInPandas(_links_batch_fn(config_kwargs or {}), LINKS_SCHEMA)
+
+
+def _meta_batch_fn(xml_mode):
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+
+        from rust_html2text_spark.engine.metadata import page_metadata
+
+        for batch in batches:
+            out = {
+                "url": batch["url"],
+                "title": [],
+                "description": [],
+                "lang_attr": [],
+                "canonical": [],
+                "og_title": [],
+                "error": [],
+            }
+            for html in batch["html"]:
+                if html is None:
+                    for k in ("title", "description", "lang_attr", "canonical", "og_title"):
+                        out[k].append(None)
+                    out["error"].append("NullInput")
+                    continue
+                if isinstance(html, str):
+                    html = html.encode("utf-8")
+                try:
+                    m = page_metadata(html, xml_mode=xml_mode)
+                    out["title"].append(m["title"])
+                    out["description"].append(m["description"])
+                    out["lang_attr"].append(m["lang_attr"])
+                    out["canonical"].append(m["canonical"])
+                    out["og_title"].append(m["og_title"])
+                    out["error"].append(None)
+                except Exception as e:  # never kill the task
+                    for k in ("title", "description", "lang_attr", "canonical", "og_title"):
+                        out[k].append(None)
+                    out["error"].append(f"Fail:{type(e).__name__}")
+            yield pd.DataFrame(out)
+
+    return meta_batches
+
+
+def page_metadata_pages(
+    df: DataFrame,
+    xml_mode=None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    repartition: str = "salted",
+) -> DataFrame:
+    """Head-metadata extraction: (url, title, description, lang_attr,
+    canonical, og_title, error).  The canonical url is the dedup key a
+    crawl pipeline trusts over the fetched url; lang_attr is the page's
+    language *claim* to audit lang_id's measurement against."""
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
+    pages = df.select("url", "html")
+    if repartition == "salted":
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
+    return pages.mapInPandas(_meta_batch_fn(xml_mode), META_SCHEMA)
+
+
 def extract_pages(
     df: DataFrame,
     width: int = 80,

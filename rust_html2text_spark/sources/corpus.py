@@ -140,9 +140,21 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
     )
     did = F.col("doc_id").cast("string")
     chrome = F.concat(
-        F.lit("<html><head><title>Doc "),
+        F.lit('<html lang="'),
+        F.col("lang"),
+        F.lit('"><head><title>Doc '),
         did,
-        F.lit('</title></head><body><nav><a href="/">Home</a> '),
+        F.lit('</title><meta name="description" content="Doc '),
+        did,
+        F.lit(" from the "),
+        F.col("source"),
+        F.lit(' journal"><meta property="og:title" content="Doc '),
+        did,
+        F.lit('"><link rel="canonical" href="https://www.'),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        did,
+        F.lit('"></head><body><nav><a href="/">Home</a> '),
         F.lit('<a href="/archive">Archive</a> <a href="/about">About us</a> '),
         F.lit('<a href="/contact">Contact</a></nav><header><h1>The '),
         F.col("source"),
@@ -176,13 +188,19 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_chrome_page_py(doc_id: int, text: str, source: str) -> tuple[str, bytes]:
+def synthesize_chrome_page_py(
+    doc_id: int, text: str, source: str, lang: str = "en"
+) -> tuple[str, bytes]:
     """Single-process replica of chrome_pages_from_documents — byte-
     identical chrome wrapping of the same body."""
     url, plain = synthesize_page_py(doc_id, text, source)
     body = plain.decode("utf-8")[len("<html><body>") : -len("</body></html>")]
     chrome = (
-        f"<html><head><title>Doc {doc_id}</title></head><body>"
+        f'<html lang="{lang}"><head><title>Doc {doc_id}</title>'
+        f'<meta name="description" content="Doc {doc_id} from the '
+        f'{source} journal"><meta property="og:title" content="Doc {doc_id}">'
+        f'<link rel="canonical" href="https://www.{source}.example.com'
+        f'/doc/{doc_id}"></head><body>'
         f'<nav><a href="/">Home</a> <a href="/archive">Archive</a> '
         f'<a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
         f'<header><h1>The {source} journal</h1>'

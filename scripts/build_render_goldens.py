@@ -40,7 +40,11 @@ def build_rows(sf_dir: str) -> list[dict]:
 
     from rust_html2text_spark.engine.api import html_to_lines, html_to_text
     from rust_html2text_spark.engine.errors import RenderError
-    from rust_html2text_spark.engine.extract import extract_main_ex
+    from rust_html2text_spark.engine.extract import (
+        extract_main_ex,
+        extract_main_links,
+    )
+    from rust_html2text_spark.engine.metadata import page_metadata
     from rust_html2text_spark.engine.pdftext import PdfError, extract_pdf_ex
     from rust_html2text_spark.sources.corpus import (
         synthesize_chrome_page_py,
@@ -80,7 +84,7 @@ def build_rows(sf_dir: str) -> list[dict]:
             n_lines, n_links = -1, -1
         # main-content extraction over the chrome-wrapped variant of the
         # same page (the boilerplate-strip expectation)
-        _, chrome_html = synthesize_chrome_page_py(doc_id, text, source)
+        _, chrome_html = synthesize_chrome_page_py(doc_id, text, source, lang)
         try:
             ex = extract_main_ex(chrome_html, WIDTH)
             main_text, main_error = ex["text"], None
@@ -91,6 +95,18 @@ def build_rows(sf_dir: str) -> list[dict]:
         except Exception as e:
             main_text, main_error = None, f"Fail:{type(e).__name__}"
             main_winner, main_score = None, None
+        # main-content link graph + head metadata over the same chrome page
+        try:
+            links = [
+                {"ordinal": o, "href": h, "anchor": a}
+                for o, h, a in extract_main_links(chrome_html)
+            ]
+        except Exception:
+            links = None
+        try:
+            meta = page_metadata(chrome_html)
+        except Exception:
+            meta = {}
         # PDF lane: deterministic writer + structure/layout extractor
         try:
             pex = extract_pdf_ex(build_pdf(doc_id, text, source))
@@ -115,6 +131,12 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "pdf_text": pdf_text,
                 "pdf_error": pdf_error,
                 "pdf_n_pages": pdf_n_pages,
+                "main_links": links,
+                "meta_title": meta.get("title"),
+                "meta_description": meta.get("description"),
+                "meta_lang": meta.get("lang_attr"),
+                "meta_canonical": meta.get("canonical"),
+                "meta_og_title": meta.get("og_title"),
             }
         )
     return rows
@@ -151,6 +173,23 @@ def main() -> None:
                 ("pdf_text", pa.string()),
                 ("pdf_error", pa.string()),
                 ("pdf_n_pages", pa.int64()),
+                (
+                    "main_links",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("ordinal", pa.int64()),
+                                ("href", pa.string()),
+                                ("anchor", pa.string()),
+                            ]
+                        )
+                    ),
+                ),
+                ("meta_title", pa.string()),
+                ("meta_description", pa.string()),
+                ("meta_lang", pa.string()),
+                ("meta_canonical", pa.string()),
+                ("meta_og_title", pa.string()),
             ]
         ),
     )

@@ -224,6 +224,99 @@ def test_spark_extract_error_rows_not_task_failures(spark):
     assert rows["u2"]["error"] is None and "fine content" in rows["u2"]["text"]
 
 
+META_PAGE = (
+    b'<html lang=" fr "><head><title> Un   Titre </title>'
+    b'<meta name="description" content="  la   description  ">'
+    b'<meta property="og:title" content="OG">'
+    b'<title>second title ignored</title>'
+    b'<meta name="description" content="second ignored">'
+    b'<link rel="stylesheet canonical" href=" https://ex.com/canon ">'
+    b"</head><body><p>corps</p></body></html>"
+)
+
+
+def test_page_metadata_first_wins_and_collapses():
+    from rust_html2text_spark.engine.metadata import page_metadata
+
+    m = page_metadata(META_PAGE)
+    assert m["title"] == "Un Titre"
+    assert m["description"] == "la description"
+    assert m["lang_attr"] == "fr"
+    assert m["canonical"] == "https://ex.com/canon"  # multi-token rel
+    assert m["og_title"] == "OG"
+
+
+def test_page_metadata_absent_fields_none():
+    from rust_html2text_spark.engine.metadata import page_metadata
+
+    m = page_metadata(b"<html><body><p>x</p></body></html>")
+    assert m == {
+        "title": None,
+        "description": None,
+        "lang_attr": None,
+        "canonical": None,
+        "og_title": None,
+    }
+
+
+def test_extract_main_links_drops_chrome_edges():
+    from rust_html2text_spark.engine.extract import extract_main_links
+
+    links = extract_main_links(ARTICLE_PAGE)
+    assert links == []  # the article body has no links
+
+    page = ARTICLE_PAGE.replace(
+        b"<p>A second paragraph",
+        b'<p>See <a href="/ref">the reference, here</a>. A second paragraph',
+    )
+    links = extract_main_links(page)
+    assert links == [(0, "/ref", "the reference, here")]
+
+
+def test_extract_main_links_img_alt_and_no_href():
+    from rust_html2text_spark.engine.extract import extract_main_links
+
+    page = (
+        b"<html><body><article><p>prose with commas, and sentences, enough "
+        b'to win the vote easily here. <a name="anchor-only">target</a> '
+        b'<a href="/a"><img alt="alt text"> trailing</a>'
+        b"</p></article></body></html>"
+    )
+    assert extract_main_links(page) == [(0, "/a", "alt text trailing")]
+
+
+def test_spark_extract_links_and_metadata_match_engine(spark):
+    from rust_html2text_spark.engine.extract import extract_main_links
+    from rust_html2text_spark.engine.metadata import page_metadata
+    from rust_html2text_spark.operators.extract import (
+        extract_links,
+        page_metadata_pages,
+    )
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(60)
+    inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+
+    got_links: dict = {}
+    for r in extract_links(pages).collect():
+        got_links.setdefault(r["url"], []).append((r["ordinal"], r["href"], r["anchor"]))
+    for url, html in inputs.items():
+        want = extract_main_links(html)
+        assert sorted(got_links.get(url, [])) == sorted(want), url
+
+    got_meta = {r["url"]: r for r in page_metadata_pages(pages).collect()}
+    for url, html in inputs.items():
+        want = page_metadata(html)
+        row = got_meta[url]
+        assert row["title"] == want["title"]
+        assert row["lang_attr"] == want["lang_attr"]
+        assert row["canonical"] == want["canonical"]
+        assert row["error"] is None
+
+
 def test_sink_resume_with_extract_operator(spark, tmp_path):
     """run_with_resume generalizes over the extraction tier: the same
     idempotent-bucket + lineage-metrics machinery drives extract_pages
