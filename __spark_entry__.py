@@ -103,6 +103,20 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pdf_pages(pages).select("url", "text", "error", "n_pages")
 
 
+def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-payload routing: one binary payload column (HTML for even
+    doc_ids, PDF for odd), magic-byte sniffed and routed to the right
+    extractor; oracle unions the render and pdf goldens by parity."""
+    from rust_html2text_spark.operators.pdf import extract_mixed_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import mixed_pages_from_documents
+
+    pages = mixed_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_mixed_pages(pages, width=WIDTH).select(
+        "url", "kind", "text", "error"
+    )
+
+
 def q_render_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_html2text_spark.operators.render import render_pages
     from rust_html2text_spark.sources.corpus import load_pages
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": q_extract_links,
         "page_metadata": q_page_metadata,
         "pdf_extract": q_pdf_extract,
+        "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
         "render_dedup": q_render_dedup,
@@ -1003,6 +1018,17 @@ def oracle_sql() -> dict[str, str]:
             "u.anchor AS anchor FROM (SELECT g.url, g.main_links "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
             ") q, UNNEST(q.main_links) AS t(u)"
+        ),
+        "mixed_extract": (
+            "SELECT g.url AS url, 'html' AS kind, g.text AS text, "
+            f"g.error AS error FROM {_GOLDENS} g JOIN documents d "
+            f"ON g.doc_key = {_DOC_KEY} WHERE d.doc_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT 'https://www.' || d.source || '.example.com/pdf/' || "
+            "CAST(d.doc_id AS VARCHAR) AS url, 'pdf' AS kind, "
+            "g.pdf_text AS text, g.pdf_error AS error "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY} "
+            "WHERE d.doc_id % 2 = 1"
         ),
         "page_metadata": (
             "SELECT g.url, g.meta_title AS title, "

@@ -93,6 +93,69 @@ def _pdf_batch_fn(page_sep: str):
     return pdf_batches
 
 
+def is_pdf_payload(col):
+    """Codegen-only PDF sniff on a binary payload column: the %PDF- magic
+    within the first 1024 bytes (the same window engine/pdfparse.parse_pdf
+    accepts — crawled PDFs sometimes carry server preambles).  NULL-safe
+    (NULL payload → false → routed to the HTML lane's NullInput row)."""
+    prefix = F.decode(F.substring(col, 1, 1024), "ISO-8859-1")
+    return F.coalesce(F.instr(prefix, "%PDF-") > 0, F.lit(False))
+
+
+def extract_mixed_pages(
+    df: DataFrame,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    payload_col: str = "html",
+) -> DataFrame:
+    """Mixed-payload extraction: a crawl's pages table carries ONE binary
+    payload column, and real Common Crawl responses are ~98% HTML with a
+    PDF tail.  Routes each row by magic-byte sniff — PDF payloads through
+    extract_pdf_pages, everything else through the full HTML render —
+    and unions to a common schema (url, kind, text, error, input_bytes,
+    text_bytes).
+
+    Scale shape: the router predicate is a codegen filter evaluated at
+    the scan (both lanes prune to url+payload), each lane keeps its own
+    salted repartition + outlier handling, and the union is a no-shuffle
+    concatenation of the two lanes' outputs."""
+    from rust_html2text_spark.operators.render import render_pages
+
+    pages = df.select("url", F.col(payload_col).alias("html"))
+    pdf_rows = pages.filter(is_pdf_payload(F.col("html"))).withColumnRenamed(
+        "html", "pdf"
+    )
+    html_rows = pages.filter(~is_pdf_payload(F.col("html")))
+
+    rendered = render_pages(
+        html_rows,
+        width=width,
+        config_kwargs=config_kwargs,
+        num_partitions=num_partitions,
+        salt=salt,
+    ).select(
+        "url",
+        F.lit("html").alias("kind"),
+        "text",
+        "error",
+        F.col("html_bytes").alias("input_bytes"),
+        "text_bytes",
+    )
+    pdfed = extract_pdf_pages(
+        pdf_rows, num_partitions=num_partitions, salt=salt
+    ).select(
+        "url",
+        F.lit("pdf").alias("kind"),
+        "text",
+        "error",
+        F.col("pdf_bytes").alias("input_bytes"),
+        "text_bytes",
+    )
+    return rendered.unionByName(pdfed)
+
+
 def extract_pdf_pages(
     df: DataFrame,
     page_sep: str = "\f",

@@ -330,6 +330,20 @@ def _emit_xref_stream(objects: dict[int, object], streams: dict[int, tuple[dict,
 # ---------------------------------------------------------------------------
 
 
+def mixed_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Crawl-realistic mixed-payload pages table: ONE binary payload
+    column carrying HTML for even doc_ids and PDF bytes for odd ones
+    (real Common Crawl response sets are mostly HTML with a PDF tail).
+    Input for operators/pdf.extract_mixed_pages' magic-byte routing."""
+    from rust_html2text_spark.sources.corpus import pages_from_documents
+
+    html_part = pages_from_documents(docs.filter(F.col("doc_id") % 2 == 0))
+    pdf_part = pdf_pages_from_documents(
+        docs.filter(F.col("doc_id") % 2 == 1)
+    ).withColumnRenamed("pdf", "html")
+    return html_part.unionByName(pdf_part)
+
+
 def pdf_pages_from_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id, text, lang, source, ...) → PDF pages table
     (url, warc_ts, pdf:binary, text:string(null), lang) — the input-table

@@ -560,6 +560,67 @@ def test_pdf_scan_pruned_to_url_pdf(spark, tmp_path):
             assert unwanted not in schema, line
 
 
+def test_mixed_routing_matches_engines(spark):
+    """extract_mixed_pages routes by magic bytes and each lane reproduces
+    its engine: PDFs (even with leading junk) through pdftext, everything
+    else through the renderer; NULL payloads become html-lane NullInput
+    rows."""
+    from rust_html2text_spark.engine.api import html_to_text
+    from rust_html2text_spark.operators.pdf import extract_mixed_pages
+
+    pdf = build_pdf(7, "routed pdf body, with commas", "srcR")
+    rows = [
+        ("h1", b"<p>plain html body</p>"),
+        ("p1", pdf),
+        ("p2", b"junk preamble " + pdf),  # magic not at offset 0
+        ("h2", b"%PDF is mentioned in this html but beyond... " + b"x" * 1100 + b"<p>late</p>"),
+        ("n1", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in extract_mixed_pages(df, width=80).collect()}
+    assert got["h1"]["kind"] == "html" and got["h1"]["text"] == html_to_text(
+        rows[0][1], 80
+    )
+    assert got["p1"]["kind"] == "pdf" and "routed pdf body" in got["p1"]["text"]
+    assert got["p2"]["kind"] == "pdf" and "routed pdf body" in got["p2"]["text"]
+    # %PDF- outside the 1024-byte sniff window → html lane (matches the
+    # engine, which would also reject it)
+    assert got["h2"]["kind"] == "html" and "late" in got["h2"]["text"]
+    assert got["n1"]["kind"] == "html" and got["n1"]["error"] == "NullInput"
+    assert len(got) == 5
+
+
+def test_mixed_extract_from_warc_archive(spark, tmp_path):
+    """End-to-end crawl shape: a WARC archive whose records are a mix of
+    HTML and PDF payloads (with the content-type header LYING — it says
+    text/html for all, as crawls do) → read_warc_pages →
+    extract_mixed_pages, each payload matching its engine."""
+    from datetime import datetime
+
+    from rust_html2text_spark.engine.api import html_to_text
+    from rust_html2text_spark.operators.pdf import extract_mixed_pages
+    from rust_html2text_spark.sources.warc import read_warc_pages, write_warc_file
+
+    pdf_a = build_pdf(11, "warc pdf one, body text", "srcW")
+    pdf_b = build_pdf(12, "warc pdf two, other text", "srcW")
+    records = [
+        ("https://w.example/h1", datetime(2026, 1, 1), b"<p>html one</p>"),
+        ("https://w.example/p1", datetime(2026, 1, 2), pdf_a),
+        ("https://w.example/h2", datetime(2026, 1, 3), b"<ul><li>two</li></ul>"),
+        ("https://w.example/p2", datetime(2026, 1, 4), pdf_b),
+    ]
+    path = str(tmp_path / "mixed.warc.gz")
+    assert write_warc_file(path, records) == 4
+    pages = read_warc_pages(spark, path)
+    got = {r["url"]: r for r in extract_mixed_pages(pages, width=80).collect()}
+    assert got["https://w.example/h1"]["kind"] == "html"
+    assert got["https://w.example/h1"]["text"] == html_to_text(b"<p>html one</p>", 80)
+    assert got["https://w.example/p1"]["kind"] == "pdf"
+    assert got["https://w.example/p1"]["text"] == extract_pdf_text(pdf_a)
+    assert got["https://w.example/p2"]["text"] == extract_pdf_text(pdf_b)
+    assert all(r["error"] is None for r in got.values())
+
+
 def test_sink_resume_with_pdf_operator(spark, tmp_path):
     """CLI --mode pdf path: run_with_resume drives extract_pdf_pages with
     pdf_bytes as the lineage input-size column."""
