@@ -121,6 +121,56 @@ def start_render_stream(
     )
 
 
+def extract_stream(
+    pages: DataFrame, width: int = 80, config_kwargs: dict | None = None
+) -> DataFrame:
+    """Streaming main-content extraction: the batch extract_pages stage
+    verbatim (shared batch fn — semantics cannot drift)."""
+    from rust_html2text_spark.operators.extract import (
+        EXTRACT_SCHEMA,
+        _extract_batch_fn,
+    )
+
+    fn = _extract_batch_fn(width, config_kwargs or {})
+    return pages.select("url", "html").mapInPandas(fn, EXTRACT_SCHEMA)
+
+
+def pdf_extract_stream(pages: DataFrame, page_sep: str = "\f") -> DataFrame:
+    """Streaming PDF extraction over a (url, pdf) stream."""
+    from rust_html2text_spark.operators.pdf import PDF_SCHEMA, _pdf_batch_fn
+
+    return pages.select("url", "pdf").mapInPandas(_pdf_batch_fn(page_sep), PDF_SCHEMA)
+
+
+def start_extraction_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    mode: str = "render",
+    width: int = 80,
+    config_kwargs: dict | None = None,
+):
+    """start_render_stream generalized over the extraction tier:
+    mode = render | extract | pdf (CLI --stream --mode ...)."""
+    pages = stream_pages(spark, input_path)
+    if mode == "extract":
+        out = extract_stream(pages, width=width, config_kwargs=config_kwargs)
+    elif mode == "pdf":
+        out = pdf_extract_stream(pages)
+    elif mode == "render":
+        out = render_stream(pages, width=width, config_kwargs=config_kwargs)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .start()
+    )
+
+
 def curate_stream(
     pages: DataFrame,
     width: int = 80,

@@ -278,10 +278,12 @@ def main() -> None:
                 width=args.width, config_kwargs=config_kwargs,
             )
         else:
-            from rust_html2text_spark.streaming.pipeline import start_render_stream
+            from rust_html2text_spark.streaming.pipeline import (
+                start_extraction_stream,
+            )
 
-            q = start_render_stream(
-                spark, args.input, args.output, ckpt,
+            q = start_extraction_stream(
+                spark, args.input, args.output, ckpt, mode=args.mode,
                 width=args.width, config_kwargs=config_kwargs,
             )
         q.processAllAvailable()

@@ -166,6 +166,33 @@ def test_extract_main_node_tie_breaks_document_order():
     assert len(divs) == 2 and winner is divs[0]
 
 
+def test_fuzz_extract_never_crashes_and_is_deterministic():
+    """Hostile HTML through the full strip→score→render path: only the
+    RenderError family may escape, and output is parallelism-independent
+    (pure function of bytes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rust_html2text_spark.engine.errors import RenderError
+
+    tag_soup = st.text(
+        alphabet="<>/ab cp=\"'!-&#;x0汉\t\n", min_size=0, max_size=400
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(s=tag_soup, width=st.sampled_from([1, 10, 80]))
+    def run(s, width):
+        html = s.encode("utf-8")
+        try:
+            a = extract_main_ex(html, width)
+        except RenderError:
+            return
+        b = extract_main_ex(html, width)
+        assert a == b
+
+    run()
+
+
 def test_spark_extract_pages_matches_engine(spark):
     """The Spark operator must reproduce the single-process extraction per
     url (the same invariant render_pages holds)."""
@@ -341,6 +368,34 @@ def test_sink_resume_with_extract_operator(spark, tmp_path):
         pages, out, num_buckets=3, operator=lambda p: extract_pages(p, width=80)
     )
     assert s2["buckets_skipped"] == 3 and s2["rows"] == 0
+
+
+def test_streaming_extract_matches_batch(spark, tmp_path):
+    """--stream --mode extract parity with the batch operator."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.streaming.pipeline import start_extraction_stream
+
+    pages = chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(30)
+    inp = str(tmp_path / "in")
+    pages.write.parquet(inp)
+    q = start_extraction_stream(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt"), mode="extract"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["url"], r["text"], r["winner_tag"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["url"], r["text"], r["winner_tag"])
+        for r in extract_pages(spark.read.parquet(inp), width=80).collect()
+    }
+    assert got == want and len(got) == 30
 
 
 def test_render_pages_null_html_with_outlier_routing(spark):

@@ -621,6 +621,33 @@ def test_mixed_extract_from_warc_archive(spark, tmp_path):
     assert all(r["error"] is None for r in got.values())
 
 
+def test_streaming_pdf_matches_batch(spark, tmp_path):
+    """--stream --mode pdf: the checkpointed streaming query reproduces
+    the batch operator row-for-row (shared batch fn)."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+    from rust_html2text_spark.streaming.pipeline import start_extraction_stream
+
+    pages = pdf_pages_from_documents(load_documents(spark, SF_DIR)).limit(30)
+    inp = str(tmp_path / "in")
+    pages.write.parquet(inp)
+    q = start_extraction_stream(
+        spark, inp, str(tmp_path / "out"), str(tmp_path / "ckpt"), mode="pdf"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r["url"]: r["text"]
+        for r in extract_pdf_pages(spark.read.parquet(inp)).collect()
+    }
+    assert got == want and len(got) == 30
+
+
 def test_sink_resume_with_pdf_operator(spark, tmp_path):
     """CLI --mode pdf path: run_with_resume drives extract_pdf_pages with
     pdf_bytes as the lineage input-size column."""
