@@ -102,6 +102,87 @@ def is_pdf_payload(col):
     return F.coalesce(F.instr(prefix, "%PDF-") > 0, F.lit(False))
 
 
+MIXED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+        StructField("input_bytes", LongType()),
+        StructField("text_bytes", LongType()),
+    ]
+)
+
+
+def _mixed_batch_fn(width: int, config_kwargs: dict, page_sep: str):
+    def mixed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+
+        from rust_html2text_spark.engine.api import (
+            Config,
+            html_to_text,
+            plain_config,
+        )
+        from rust_html2text_spark.engine.errors import RenderError
+        from rust_html2text_spark.engine.pdftext import PdfError, extract_pdf_ex
+
+        config = Config(**config_kwargs) if config_kwargs else plain_config()
+        for batch in batches:
+            out = {
+                "url": batch["url"],
+                "kind": [],
+                "text": [],
+                "error": [],
+                "input_bytes": [],
+                "text_bytes": [],
+            }
+
+            def emit(kind, text, error, n_in):
+                out["kind"].append(kind)
+                out["text"].append(text)
+                out["error"].append(error)
+                out["input_bytes"].append(n_in)
+                out["text_bytes"].append(
+                    len(text.encode("utf-8")) if text is not None else 0
+                )
+
+            for payload in batch["html"]:
+                if payload is None:
+                    emit("html", None, "NullInput", 0)
+                    continue
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                payload = bytes(payload)
+                # the same 1 KiB magic window parse_pdf accepts; crawl
+                # content-type headers lie, so they are never consulted
+                if b"%PDF-" in payload[:1024]:
+                    try:
+                        r = extract_pdf_ex(payload, page_sep)
+                        emit("pdf", r["text"], None, len(payload))
+                    except PdfError as e:
+                        emit("pdf", None, f"PdfError:{e}"[:200], len(payload))
+                    except Exception as e:
+                        emit("pdf", None, f"Fail:{type(e).__name__}", len(payload))
+                    continue
+                try:
+                    text = html_to_text(payload, width, config)
+                    emit("html", text, None, len(payload))
+                except RenderError as e:
+                    emit("html", None, type(e).__name__, len(payload))
+                except Exception as e:
+                    emit("html", None, f"Fail:{type(e).__name__}", len(payload))
+            yield pd.DataFrame(out)
+
+    return mixed_batches
+
+
 def extract_mixed_pages(
     df: DataFrame,
     width: int = 80,
@@ -109,51 +190,32 @@ def extract_mixed_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     payload_col: str = "html",
+    page_sep: str = "\f",
+    repartition: str = "salted",
 ) -> DataFrame:
     """Mixed-payload extraction: a crawl's pages table carries ONE binary
     payload column, and real Common Crawl responses are ~98% HTML with a
-    PDF tail.  Routes each row by magic-byte sniff — PDF payloads through
-    extract_pdf_pages, everything else through the full HTML render —
-    and unions to a common schema (url, kind, text, error, input_bytes,
-    text_bytes).
+    PDF tail.  Each row is routed by magic-byte sniff (%PDF- within the
+    first 1 KiB — the window engine/pdfparse accepts; content-type
+    headers lie in crawls and are never consulted): PDFs through the
+    pdftext kernel, everything else through the full HTML render.
+    Output: (url, kind, text, error, input_bytes, text_bytes).
 
-    Scale shape: the router predicate is a codegen filter evaluated at
-    the scan (both lanes prune to url+payload), each lane keeps its own
-    salted repartition + outlier handling, and the union is a no-shuffle
-    concatenation of the two lanes' outputs."""
-    from rust_html2text_spark.operators.render import render_pages
-
+    Scale shape: ONE pruned scan → ONE salted shuffle → ONE mapInPandas
+    whose Python side dispatches per row — both kernels live in the same
+    worker process, so routing costs a 1 KiB memchr, not a second scan
+    of the payload column (a two-filtered-branches plan reads the
+    100 TB table twice because the sniff predicate cannot push to
+    parquet)."""
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
     pages = df.select("url", F.col(payload_col).alias("html"))
-    pdf_rows = pages.filter(is_pdf_payload(F.col("html"))).withColumnRenamed(
-        "html", "pdf"
+    if repartition == "salted":
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
+    return pages.mapInPandas(
+        _mixed_batch_fn(width, config_kwargs or {}, page_sep), MIXED_SCHEMA
     )
-    html_rows = pages.filter(~is_pdf_payload(F.col("html")))
-
-    rendered = render_pages(
-        html_rows,
-        width=width,
-        config_kwargs=config_kwargs,
-        num_partitions=num_partitions,
-        salt=salt,
-    ).select(
-        "url",
-        F.lit("html").alias("kind"),
-        "text",
-        "error",
-        F.col("html_bytes").alias("input_bytes"),
-        "text_bytes",
-    )
-    pdfed = extract_pdf_pages(
-        pdf_rows, num_partitions=num_partitions, salt=salt
-    ).select(
-        "url",
-        F.lit("pdf").alias("kind"),
-        "text",
-        "error",
-        F.col("pdf_bytes").alias("input_bytes"),
-        "text_bytes",
-    )
-    return rendered.unionByName(pdfed)
 
 
 def extract_pdf_pages(

@@ -590,6 +590,31 @@ def test_mixed_routing_matches_engines(spark):
     assert len(got) == 5
 
 
+def test_mixed_routing_single_scan(spark, tmp_path):
+    """The mixed router must read the payload column ONCE: per-row
+    Python dispatch, not two filtered branches (the sniff predicate
+    cannot push to parquet, so a branched plan would scan the 100 TB
+    table twice)."""
+    from rust_html2text_spark.operators.pdf import extract_mixed_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import mixed_pages_from_documents
+
+    p = str(tmp_path / "mixed")
+    mixed_pages_from_documents(load_documents(spark, SF_DIR)).limit(
+        40
+    ).write.parquet(p)
+    df = extract_mixed_pages(spark.read.parquet(p), width=80)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("ArrowEvalPython") == 0  # mapInPandas, no scalar UDFs
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    for line in scans:
+        schema = line.split("ReadSchema:", 1)[1]
+        assert "url" in schema and "html" in schema
+        for unwanted in ("text", "lang", "warc_ts"):
+            assert unwanted not in schema, line
+
+
 def test_mixed_extract_from_warc_archive(spark, tmp_path):
     """End-to-end crawl shape: a WARC archive whose records are a mix of
     HTML and PDF payloads (with the content-type header LYING — it says
