@@ -103,6 +103,23 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pdf_pages(pages).select("url", "text", "error", "n_pages")
 
 
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-parse fused extraction: text + scoring lineage + main-content
+    link graph (JSON) + head metadata per page — the pipeline-efficient
+    form of extract_main + extract_links + page_metadata."""
+    from rust_html2text_spark.operators.extract import extract_pages_full
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_pages_full(pages, width=WIDTH).select(
+        "url", "text", "error", "winner_tag", "links_json",
+        "title", "lang_attr", "canonical",
+    )
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload routing: one binary payload column (HTML for even
     doc_ids, PDF for odd), magic-byte sniffed and routed to the right
@@ -734,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main": q_extract_main,
         "extract_links": q_extract_links,
         "page_metadata": q_page_metadata,
+        "extract_full": q_extract_full,
         "pdf_extract": q_pdf_extract,
         "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
@@ -1018,6 +1036,13 @@ def oracle_sql() -> dict[str, str]:
             "u.anchor AS anchor FROM (SELECT g.url, g.main_links "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
             ") q, UNNEST(q.main_links) AS t(u)"
+        ),
+        "extract_full": (
+            "SELECT g.url, g.main_text AS text, g.main_error AS error, "
+            "g.main_winner_tag AS winner_tag, "
+            "g.main_links_json AS links_json, g.meta_title AS title, "
+            "g.meta_lang AS lang_attr, g.meta_canonical AS canonical "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "mixed_extract": (
             "SELECT g.url AS url, 'html' AS kind, g.text AS text, "

@@ -291,19 +291,49 @@ def extract_main(html: bytes | str, width: int = 80, config=None) -> str:
     return extract_main_ex(html, width, config)["text"]
 
 
-def extract_main_ex(html: bytes | str, width: int = 80, config=None) -> dict:
-    """extract_main plus the scoring lineage
-    {text, winner_tag, score, n_candidates}."""
-    from .api import _HtmlContext, _free_dom, plain_config
-    from .errors import Fail, TooNarrow
-    from .lower import dom_to_render_tree
-    from .render import render_tree_to_string
+def extract_main_full(html: bytes | str, width: int = 80, config=None) -> dict:
+    """One-parse fusion of the whole extraction tier's per-page work:
+    {text, winner_tag, score, n_candidates, links, meta} — a pipeline
+    that wants extracted text AND the main-content link graph AND head
+    metadata must not parse the page three times (at crawl scale the
+    parse is ~a quarter of the kernel).  `links` and `meta` are exactly
+    what extract_main_links / metadata.page_metadata return on the same
+    bytes (pinned by test)."""
+    from .api import plain_config
+    from .metadata import metadata_from_dom
 
     if config is None:
         config = plain_config()
     dom = parse_html(html, xml_mode=config.xml)
+    # metadata first: it reads the pre-strip DOM (head survives the strip
+    # today, but the contract is "same as page_metadata on raw bytes")
+    meta = metadata_from_dom(dom)
+    out = _extract_ex_from_dom(dom, width, config)
+    out["meta"] = meta
+    return out
+
+
+def extract_main_ex(html: bytes | str, width: int = 80, config=None) -> dict:
+    """extract_main plus the scoring lineage
+    {text, winner_tag, score, n_candidates, links}."""
+    from .api import plain_config
+
+    if config is None:
+        config = plain_config()
+    dom = parse_html(html, xml_mode=config.xml)
+    return _extract_ex_from_dom(dom, width, config)
+
+
+def _extract_ex_from_dom(dom: DomNode, width: int, config) -> dict:
+    """Strip + score + render an already-parsed DOM (consumes it)."""
+    from .api import _HtmlContext, _free_dom
+    from .errors import Fail, TooNarrow
+    from .lower import dom_to_render_tree
+    from .render import render_tree_to_string
+
     try:
         winner, info = extract_main_node(dom)
+        info["links"] = links_from_node(winner)
         wrapped = _wrap_as_document(winner)
         context = _HtmlContext(config)
         render_tree = dom_to_render_tree(wrapped, context)

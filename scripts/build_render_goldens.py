@@ -22,6 +22,7 @@ Usage: python scripts/build_render_goldens.py [sf_dir ...]
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -97,12 +98,13 @@ def build_rows(sf_dir: str) -> list[dict]:
             main_winner, main_score = None, None
         # main-content link graph + head metadata over the same chrome page
         try:
+            raw_links = extract_main_links(chrome_html)
             links = [
-                {"ordinal": o, "href": h, "anchor": a}
-                for o, h, a in extract_main_links(chrome_html)
+                {"ordinal": o, "href": h, "anchor": a} for o, h, a in raw_links
             ]
+            links_json = json.dumps(raw_links, separators=(",", ":"))
         except Exception:
-            links = None
+            links, links_json = None, None
         try:
             meta = page_metadata(chrome_html)
         except Exception:
@@ -132,6 +134,7 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "pdf_error": pdf_error,
                 "pdf_n_pages": pdf_n_pages,
                 "main_links": links,
+                "main_links_json": links_json,
                 "meta_title": meta.get("title"),
                 "meta_description": meta.get("description"),
                 "meta_lang": meta.get("lang_attr"),
@@ -185,6 +188,7 @@ def main() -> None:
                         )
                     ),
                 ),
+                ("main_links_json", pa.string()),
                 ("meta_title", pa.string()),
                 ("meta_description", pa.string()),
                 ("meta_lang", pa.string()),

@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 from rust_html2text_spark.engine.extract import (  # noqa: E402
     extract_main,
     extract_main_ex,
+    extract_main_full,
     extract_main_node,
     strip_boilerplate,
 )
@@ -342,6 +343,52 @@ def test_spark_extract_links_and_metadata_match_engine(spark):
         assert row["lang_attr"] == want["lang_attr"]
         assert row["canonical"] == want["canonical"]
         assert row["error"] is None
+
+
+def test_extract_main_full_fuses_three_ops():
+    """The one-parse fusion must equal the three standalone functions."""
+    from rust_html2text_spark.engine.extract import (
+        extract_main_links,
+    )
+    from rust_html2text_spark.engine.metadata import page_metadata
+
+    f = extract_main_full(ARTICLE_PAGE, 80)
+    e = extract_main_ex(ARTICLE_PAGE, 80)
+    assert f["text"] == e["text"] and f["winner_tag"] == e["winner_tag"]
+    assert f["links"] == extract_main_links(ARTICLE_PAGE)
+    assert f["meta"] == page_metadata(ARTICLE_PAGE)
+
+
+def test_spark_extract_full_matches_engine_and_recovers_on_render_error(spark):
+    from rust_html2text_spark.operators.extract import extract_pages_full
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    pages = chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(40)
+    inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    got = {r["url"]: r for r in extract_pages_full(pages, width=80).collect()}
+    import json
+
+    for url, html in inputs.items():
+        want = extract_main_full(html, 80)
+        row = got[url]
+        assert row["text"] == want["text"]
+        assert row["links_json"] == json.dumps(
+            want["links"], separators=(",", ":")
+        )
+        assert row["title"] == want["meta"]["title"]
+        assert row["canonical"] == want["meta"]["canonical"]
+
+    # width=0 → every render raises TooNarrow, but links + metadata are
+    # render-independent and must survive into the error rows
+    err = {r["url"]: r for r in extract_pages_full(pages, width=0).collect()}
+    for url in inputs:
+        row = err[url]
+        assert row["error"] == "TooNarrow" and row["text"] is None
+        assert row["links_json"] is not None
+        assert row["title"] is not None
 
 
 def test_sink_resume_with_extract_operator(spark, tmp_path):
