@@ -110,7 +110,13 @@ def _glyph_to_char(name: str) -> str | None:
     return None
 
 
+_BASE_ENCODING_CACHE: dict[str, dict[int, str]] = {}
+
+
 def _base_encoding_map(name: str) -> dict[int, str]:
+    got = _BASE_ENCODING_CACHE.get(name)
+    if got is not None:
+        return dict(got)  # callers mutate (via /Differences); hand a copy
     out: dict[int, str] = {}
     if name == "WinAnsiEncoding":
         for code in range(32, 256):
@@ -129,7 +135,8 @@ def _base_encoding_map(name: str) -> dict[int, str]:
         for code in range(32, 127):
             out[code] = chr(code)
         out.update(_STANDARD_SPECIALS)
-    return out
+    _BASE_ENCODING_CACHE[name] = out
+    return dict(out)
 
 
 # ---------------------------------------------------------------------------
@@ -383,18 +390,31 @@ class _GState:
 _MAX_RUNS_PER_PAGE = 200_000
 
 
-def interpret_page(doc: PdfDocument, page: dict) -> list[_Run]:
-    """Execute a page's content stream, returning positioned text runs."""
+def interpret_page(
+    doc: PdfDocument, page: dict, font_cache: dict | None = None
+) -> list[_Run]:
+    """Execute a page's content stream, returning positioned text runs.
+    `font_cache` (keyed by resolved font-dict identity) is shared across
+    a document's pages — inherited /Resources resolve to the same dicts,
+    so each font loads once per document, not once per page."""
     content = doc.page_content(page)
     resources = doc.resolve(page.get("Resources")) or {}
     font_dicts = doc.resolve(resources.get("Font")) or {}
     fonts: dict[str, Font] = {}
+    if font_cache is None:
+        font_cache = {}
 
     def get_font(name: str) -> Font:
         got = fonts.get(name)
         if got is None:
             fd = doc.resolve(font_dicts.get(name)) if isinstance(font_dicts, dict) else None
-            got = Font.load(doc, fd) if isinstance(fd, dict) else _DEFAULT_FONT
+            if isinstance(fd, dict):
+                got = font_cache.get(id(fd))
+                if got is None:
+                    got = Font.load(doc, fd)
+                    font_cache[id(fd)] = got
+            else:
+                got = _DEFAULT_FONT
             fonts[name] = got
         return got
 
@@ -579,9 +599,10 @@ def extract_pdf_ex(data: bytes, page_sep: str = "\f") -> dict:
     doc = parse_pdf(data)
     pages = doc.pages()
     page_texts = []
+    font_cache: dict = {}
     for page in pages:
         try:
-            page_texts.append(runs_to_text(interpret_page(doc, page)))
+            page_texts.append(runs_to_text(interpret_page(doc, page, font_cache)))
         except (PdfError, RecursionError):
             page_texts.append("")
     m = re.search(rb"%PDF-(\d+\.\d+)", data[:1024])
