@@ -152,12 +152,21 @@ def start_extraction_stream(
     config_kwargs: dict | None = None,
 ):
     """start_render_stream generalized over the extraction tier:
-    mode = render | extract | pdf (CLI --stream --mode ...)."""
+    mode = render | extract | pdf | mixed (CLI --stream --mode ...)."""
     pages = stream_pages(spark, input_path)
     if mode == "extract":
         out = extract_stream(pages, width=width, config_kwargs=config_kwargs)
     elif mode == "pdf":
         out = pdf_extract_stream(pages)
+    elif mode == "mixed":
+        from rust_html2text_spark.operators.pdf import (
+            MIXED_SCHEMA,
+            _mixed_batch_fn,
+        )
+
+        out = pages.select("url", "html").mapInPandas(
+            _mixed_batch_fn(width, config_kwargs or {}, "\f"), MIXED_SCHEMA
+        )
     elif mode == "render":
         out = render_stream(pages, width=width, config_kwargs=config_kwargs)
     else:

@@ -41,10 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--mode",
         default="render",
-        choices=["render", "extract", "pdf"],
+        choices=["render", "extract", "pdf", "mixed"],
         help="render: full-document HTML→text; extract: main-content "
         "extraction (boilerplate strip + DOM heuristics); pdf: PDF/layout "
-        "parse (input column `pdf` instead of `html`)",
+        "parse (input column `pdf` instead of `html`); mixed: one binary "
+        "payload column, HTML and PDF rows magic-byte routed (the raw "
+        "Common Crawl shape — content-type headers are never trusted)",
     )
     ap.add_argument("-w", "--width", type=int, default=80)
     ap.add_argument(
@@ -220,6 +222,19 @@ def main() -> None:
             print(extract_pdf_text(bytes(row[0]["pdf"])))
             return
         html = bytes(row[0]["html"])
+        if args.mode == "mixed" and args.show_text:
+            if b"%PDF-" in html[:1024]:
+                from rust_html2text_spark.engine.pdftext import extract_pdf_text
+
+                print(extract_pdf_text(html))
+            else:
+                from rust_html2text_spark.engine.api import (
+                    Config as _C,
+                    html_to_text as _h2t,
+                )
+
+                print(_h2t(html, args.width, _C(**config_kwargs)))
+            return
         if args.mode == "extract" and args.show_text:
             from rust_html2text_spark.engine.api import Config
             from rust_html2text_spark.engine.extract import extract_main
@@ -313,6 +328,16 @@ def main() -> None:
 
         def operator(part):
             return extract_pdf_pages(part, salt=args.salt)
+
+    elif args.mode == "mixed":
+        from rust_html2text_spark.operators.pdf import extract_mixed_pages
+
+        bytes_col = "input_bytes"
+
+        def operator(part):
+            return extract_mixed_pages(
+                part, width=args.width, config_kwargs=config_kwargs, salt=args.salt
+            )
 
     if args.explain:
         if operator is not None:
