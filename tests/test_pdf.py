@@ -455,6 +455,59 @@ def test_inline_image_skipped():
     assert "before" in text and "after" in text
 
 
+def test_tm_matrix_positions_hand_computed():
+    """Spec math, independent of the writer: Tm sets the text matrix
+    directly; device y decides line order, device x decides in-line
+    order.  y: 700 > 690−ε ⇒ three distinct baselines at 700, 500, 300."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 300 500 Tm (mid) Tj ET "
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (top) Tj ET "
+        b"BT /F1 12 Tf 1 0 0 1 72 300 Tm (low) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "top\nmid\nlow"
+
+
+def test_glyph_advance_hand_computed():
+    """Advance formula (ISO 32000-1 §9.4.4): tx = (w/1000·Tfs + Tc)·Th.
+    With no /Widths the extractor uses w=500: 4 glyphs at Tfs=10 advance
+    4·5 = 20pt.  A second Td-positioned run starting at exactly
+    72+20+1.9 = 93.9 leaves a 1.9pt gap > 0.18·10 ⇒ space; at 72+20.5
+    the 0.5pt gap < 1.8 ⇒ glued."""
+    spaced = (
+        b"BT /F1 10 Tf 72 700 Td (abcd) Tj ET "
+        b"BT /F1 10 Tf 93.9 700 Td (efgh) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(spaced)) == "abcd efgh"
+    glued = (
+        b"BT /F1 10 Tf 72 700 Td (abcd) Tj ET "
+        b"BT /F1 10 Tf 92.5 700 Td (efgh) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(glued)) == "abcdefgh"
+
+
+def test_char_spacing_tc_extends_advance():
+    """Tc adds per-glyph: 4 glyphs · (5 + 1.5) = 26pt — a follow-up run
+    at 98+1.9 must still be the same line with a space, proving Tc fed
+    the advance (without Tc the gap would read as 6+1.9pt)."""
+    content = (
+        b"BT /F1 10 Tf 1.5 Tc 72 700 Td (abcd) Tj ET "
+        b"BT /F1 10 Tf 0 Tc 99.9 700 Td (efgh) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "abcd efgh"
+
+
+def test_horizontal_scaling_tz_halves_advance():
+    """Tz 50 halves Th: 4 glyphs at Tfs=10 advance 10pt, so a run at
+    x=82.5 (gap 0.5pt) glues; without the Tz it would overlap-merge at
+    the same x anyway — so ALSO check the converse: at Tz 100 a run at
+    x=92.5 glues but at Tz 50 the same x leaves a 10.5pt gap ⇒ space."""
+    content = (
+        b"BT /F1 10 Tf 50 Tz 72 700 Td (abcd) Tj ET "
+        b"BT /F1 10 Tf 100 Tz 92.5 700 Td (efgh) Tj ET"
+    )
+    assert extract_pdf_text(_minimal_pdf(content)) == "abcd efgh"
+
+
 def test_garbage_content_stream_no_crash():
     content = b"\x00\xff BT (open ( paren ET ] >> [[[ 1 2 3 zzz"
     extract_pdf_text(_minimal_pdf(content))  # must not raise
