@@ -119,18 +119,27 @@ def main() -> None:
         # half-mult (each kernel runs ~60% of the plain render's rate,
         # the lanes should not dominate the bench wall)
         from rust_html2text_spark.operators.extract import extract_pages
-        from rust_html2text_spark.operators.pdf import extract_pdf_pages
+        from rust_html2text_spark.operators.pdf import (
+            extract_mixed_pages,
+            extract_pdf_pages,
+        )
         from rust_html2text_spark.sources.corpus import (
             chrome_pages_from_documents,
             load_documents,
         )
-        from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+        from rust_html2text_spark.sources.pdfcorpus import (
+            mixed_pages_from_documents,
+            pdf_pages_from_documents,
+        )
 
         ex_mult = int(os.environ.get("SPARK_GRAFT_EXTRACT_MULT", str(max(1, mult // 2))))
         docs_df = load_documents(spark, sf_dir)
         lane_specs = (
             ("extract_main", chrome_pages_from_documents(docs_df), extract_pages, {"width": 80}),
             ("pdf_extract", pdf_pages_from_documents(docs_df).withColumnRenamed("pdf", "html"), None, {}),
+            # half HTML render + half PDF parse through the single-scan
+            # router — should track the mean of the two pure lanes
+            ("mixed_extract", mixed_pages_from_documents(docs_df), extract_mixed_pages, {"width": 80}),
         )
         extract_rates: dict[str, float] = {}
         for lane, src_df, op, kw in lane_specs:

@@ -386,7 +386,8 @@ def extract_pages(
     partitioning contract as operators/render.render_pages: salted url
     hash by default, `repartition="none"` for pre-shuffled input, and an
     oversized-outlier lane so one giant page never stalls a task's worth
-    of siblings."""
+    of siblings (the lane's second-scan cost and when to disable it are
+    quantified in render_pages' docstring)."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
     pages = df.select("url", "html")

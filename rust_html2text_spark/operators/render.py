@@ -179,6 +179,19 @@ def render_pages(
     shuffling the corpus once and not) — correct when the input is already
     well-distributed, e.g. the output of an upstream shuffle such as
     render_pages_deduped's distinct stage.
+
+    Outlier-lane scan cost, explicitly: the length predicate cannot push
+    to parquet, so the two filtered branches each read url+html — a
+    second pass over the payload column.  That is a deliberate trade:
+    the render kernel outweighs the scan ~10:1 (BENCH/BASELINE.md puts
+    the scan/shuffle section under 5% of wall), so the extra pass costs
+    a few percent and buys straggler isolation — oversized docs render
+    in their own tasks concurrently with the normal lane instead of
+    serializing at the tail of a mixed task.  When the input already
+    isolates or excludes giants (or carries a precomputed length column
+    upstream), set outlier_bytes=None for the single-scan plan; the
+    mixed-payload router (operators/pdf.extract_mixed_pages), whose
+    routing needs no isolation, is single-scan by construction.
     """
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
