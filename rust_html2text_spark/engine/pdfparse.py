@@ -495,6 +495,16 @@ def _lzw(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
+def _as_int(v, default: int | None = None) -> int:
+    """Coerce a resolved object to int; hostile values (a Name where a
+    count belongs, etc.) become PdfError, never ValueError/TypeError."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        if default is not None:
+            return default
+        raise PdfError(f"expected integer, got {type(v).__name__}")
+    return int(v)
+
+
 def decode_stream(stream: Stream, resolve=lambda x: x) -> bytes:
     """Apply the stream's /Filter chain (with /DecodeParms) to its raw
     bytes.  `resolve` dereferences indirect filter parameters."""
@@ -519,19 +529,19 @@ def decode_stream(stream: Stream, resolve=lambda x: x) -> bytes:
         elif f in ("RunLengthDecode", "RL"):
             data = _run_length(data)
         elif f in ("LZWDecode", "LZW"):
-            data = _lzw(data, int(resolve(p.get("EarlyChange", 1)) or 1))
+            data = _lzw(data, _as_int(resolve(p.get("EarlyChange", 1)), 1))
         elif f == "Crypt":
             raise PdfError("encrypted stream")
         else:
             raise PdfError(f"unsupported stream filter {f}")
-        pred = int(resolve(p.get("Predictor", 1)) or 1)
+        pred = _as_int(resolve(p.get("Predictor", 1)), 1)
         if pred > 1:
             data = _apply_predictor(
                 data,
                 pred,
-                int(resolve(p.get("Colors", 1)) or 1),
-                int(resolve(p.get("BitsPerComponent", 8)) or 8),
-                int(resolve(p.get("Columns", 1)) or 1),
+                _as_int(resolve(p.get("Colors", 1)), 1),
+                _as_int(resolve(p.get("BitsPerComponent", 8)), 8),
+                _as_int(resolve(p.get("Columns", 1)), 1),
             )
     return data
 
@@ -650,11 +660,16 @@ class PdfDocument:
 
     def _load_xref_stream(self, stream: Stream) -> None:
         data = decode_stream(stream, self.resolve)
-        w = [int(self.resolve(x)) for x in self.resolve(stream.dict.get("W", []))]
+        w_raw = self.resolve(stream.dict.get("W", []))
+        if not isinstance(w_raw, list):
+            raise PdfError("xref stream /W is not an array")
+        w = [_as_int(self.resolve(x)) for x in w_raw]
         if len(w) != 3:
             raise PdfError("xref stream /W must have 3 entries")
-        size = int(self.resolve(stream.dict.get("Size", 0)))
-        index = self.resolve(stream.dict.get("Index")) or [0, size]
+        size = _as_int(self.resolve(stream.dict.get("Size", 0)), 0)
+        index = self.resolve(stream.dict.get("Index"))
+        if not isinstance(index, list):
+            index = [0, size]
         rec_len = sum(w)
         if rec_len <= 0:
             raise PdfError("bad xref stream widths")
@@ -670,7 +685,8 @@ class PdfDocument:
 
         pairs = list(zip(index[0::2], index[1::2]))
         for start, count in pairs:
-            for k in range(int(count)):
+            start = _as_int(self.resolve(start))
+            for k in range(_as_int(self.resolve(count))):
                 if pos + rec_len > len(data):
                     return
                 t = field(w[0])
@@ -678,7 +694,7 @@ class PdfDocument:
                     t = 1  # default type is 1 when W[0] == 0
                 f2 = field(w[1])
                 f3 = field(w[2])
-                num = int(start) + k
+                num = start + k
                 if num in self.xref:
                     continue
                 if t == 0:
@@ -791,8 +807,8 @@ class PdfDocument:
         if not isinstance(stm, Stream) or str(self.resolve(stm.dict.get("Type"))) != "ObjStm":
             raise PdfError(f"object {num} is not an ObjStm")
         data = decode_stream(stm, self.resolve)
-        n = int(self.resolve(stm.dict.get("N", 0)))
-        first = int(self.resolve(stm.dict.get("First", 0)))
+        n = _as_int(self.resolve(stm.dict.get("N", 0)))
+        first = _as_int(self.resolve(stm.dict.get("First", 0)))
         header = Lexer(data[:first])
         table = {}
         pairs = []
@@ -801,7 +817,7 @@ class PdfDocument:
             onum = header.parse_number()
             header.skip_ws()
             ooff = header.parse_number()
-            pairs.append((int(onum), int(ooff)))
+            pairs.append((_as_int(onum), _as_int(ooff)))
         for onum, ooff in pairs:
             lex = Lexer(data, first + ooff)
             try:
@@ -863,7 +879,7 @@ class PdfDocument:
             t = str(self.resolve(node.get("Type", "")))
             kids = self.resolve(node.get("Kids"))
             if t == "Pages" or (t != "Page" and isinstance(kids, list)):
-                for kid in kids or []:
+                for kid in (kids if isinstance(kids, list) else []):
                     walk(self.resolve(kid), inh, depth + 1)
             elif t == "Page" or "Contents" in node:
                 page = dict(node)

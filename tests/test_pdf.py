@@ -524,6 +524,27 @@ def test_content_stream_loop_bomb_terminates():
 # ---------------------------------------------------------------------------
 
 
+def test_corrupt_structural_integers_are_pdferror():
+    """Structure-fuzz regressions: an /ObjStm whose /N resolves to a Name
+    and a /Kids that is a scalar must surface as PdfError (or be
+    skipped), never ValueError/TypeError."""
+    from rust_html2text_spark.engine.pdfparse import PdfError as PE
+
+    pdf = build_pdf(1, "fuzz regression body", "srcQ")  # xref-stream flavour
+    broken = pdf.replace(b"/N ", b"/N /FlateDecode %", 1)
+    try:
+        extract_pdf_ex(broken)
+    except PE:
+        pass
+
+    pdf2 = build_pdf(0, "kids regression", "srcQ")
+    broken2 = re.sub(rb"/Kids \[[^\]]*\]", b"/Kids 7", pdf2)
+    try:
+        extract_pdf_ex(broken2)
+    except PE:
+        pass
+
+
 def test_fuzz_mutated_pdfs_never_crash():
     from hypothesis import given, settings
     from hypothesis import strategies as st
