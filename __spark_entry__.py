@@ -100,7 +100,9 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
 
     pages = pdf_pages_from_documents(load_documents(spark, sf_dir))
-    return extract_pdf_pages(pages).select("url", "text", "error", "n_pages")
+    return extract_pdf_pages(pages).select(
+        "url", "text", "error", "n_pages", "title", "author"
+    )
 
 
 def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,12 +1030,14 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract": (
             "SELECT 'https://www.' || d.source || '.example.com/pdf/' || "
             "CAST(d.doc_id AS VARCHAR) AS url, g.pdf_text AS text, "
-            "g.pdf_error AS error, g.pdf_n_pages AS n_pages "
+            "g.pdf_error AS error, g.pdf_n_pages AS n_pages, "
+            "g.pdf_title AS title, g.pdf_author AS author "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "extract_links": (
             "SELECT q.url AS url, u.ordinal AS ordinal, u.href AS href, "
-            "u.anchor AS anchor FROM (SELECT g.url, g.main_links "
+            "u.anchor AS anchor, u.nofollow AS nofollow "
+            "FROM (SELECT g.url, g.main_links "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
             ") q, UNNEST(q.main_links) AS t(u)"
         ),

@@ -240,12 +240,14 @@ def _collapse_ws(s: str) -> str:
     return " ".join(s.split())
 
 
-def links_from_node(node: DomNode) -> list[tuple[int, str, str]]:
+def links_from_node(node: DomNode) -> list[tuple[int, str, str, int]]:
     """All <a href> links under `node` in document order:
-    (ordinal, href, whitespace-collapsed anchor text).  Anchors without
-    an href (targets) are skipped; nested text (em/img alt/...) flattens
-    into the anchor string the same way the renderer flattens it."""
-    out: list[tuple[int, str, str]] = []
+    (ordinal, href, whitespace-collapsed anchor text, nofollow 0/1).
+    Anchors without an href (targets) are skipped; nested text
+    (em/img alt/...) flattens into the anchor string the same way the
+    renderer flattens it; nofollow=1 when rel contains the nofollow
+    token (a link-graph consumer must not treat those as endorsements)."""
+    out: list[tuple[int, str, str, int]] = []
 
     def anchor_text(n: DomNode) -> str:
         if n.kind == "text":
@@ -258,7 +260,15 @@ def links_from_node(node: DomNode) -> list[tuple[int, str, str]]:
         if n.kind == "element" and (n.name or "").lower() == "a":
             href = n.attrs.get("href")
             if href is not None:
-                out.append((len(out), href, _collapse_ws(anchor_text(n))))
+                rels = (n.attrs.get("rel") or "").lower().split()
+                out.append(
+                    (
+                        len(out),
+                        href,
+                        _collapse_ws(anchor_text(n)),
+                        1 if "nofollow" in rels else 0,
+                    )
+                )
                 return  # links don't nest (the parser un-nests <a>)
         for c in n.children:
             walk(c)

@@ -892,6 +892,25 @@ class PdfDocument:
             raise PdfError("document has no pages")
         return out
 
+    def info(self) -> dict[str, str]:
+        """Document information dictionary (trailer /Info) with text
+        strings decoded: UTF-16BE when BOM-prefixed, else PDFDocEncoding
+        (approximated as latin-1 — identical for the printable range)."""
+        raw = self.resolve(self.trailer.get("Info"))
+        out: dict[str, str] = {}
+        if not isinstance(raw, dict):
+            return out
+        for key, val in raw.items():
+            val = self.resolve(val)
+            if isinstance(val, bytes):
+                if val[:2] == b"\xfe\xff":
+                    out[key] = val[2:].decode("utf-16-be", "replace")
+                else:
+                    out[key] = val.decode("latin-1")
+            elif isinstance(val, (str, int, float)):
+                out[key] = str(val)
+        return out
+
     def page_content(self, page: dict) -> bytes:
         """Concatenated, decoded content streams of a page."""
         contents = self.resolve(page.get("Contents"))

@@ -606,10 +606,13 @@ def extract_pdf_ex(data: bytes, page_sep: str = "\f") -> dict:
         except (PdfError, RecursionError):
             page_texts.append("")
     m = re.search(rb"%PDF-(\d+\.\d+)", data[:1024])
+    info = doc.info()
     return {
         "text": page_sep.join(page_texts),
         "n_pages": len(pages),
         "pdf_version": m.group(1).decode("ascii") if m else None,
+        "title": info.get("Title"),
+        "author": info.get("Author"),
     }
 
 

@@ -112,6 +112,7 @@ LINKS_SCHEMA = StructType(
         StructField("ordinal", LongType()),
         StructField("href", StringType()),
         StructField("anchor", StringType()),
+        StructField("nofollow", LongType()),
     ]
 )
 
@@ -144,7 +145,7 @@ def _links_batch_fn(config_kwargs: dict):
 
         config = Config(**config_kwargs) if config_kwargs else plain_config()
         for batch in batches:
-            out = {"url": [], "ordinal": [], "href": [], "anchor": []}
+            out = {"url": [], "ordinal": [], "href": [], "anchor": [], "nofollow": []}
             for url, html in zip(batch["url"], batch["html"]):
                 if html is None:
                     continue
@@ -154,11 +155,12 @@ def _links_batch_fn(config_kwargs: dict):
                     links = extract_main_links(html, config)
                 except Exception:
                     continue  # unparseable page contributes no edges
-                for o, href, anchor in links:
+                for o, href, anchor, nofollow in links:
                     out["url"].append(url)
                     out["ordinal"].append(o)
                     out["href"].append(href)
                     out["anchor"].append(anchor)
+                    out["nofollow"].append(nofollow)
             yield pd.DataFrame(out)
 
     return links_batches

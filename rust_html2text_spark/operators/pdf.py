@@ -31,6 +31,8 @@ PDF_SCHEMA = StructType(
         StructField("text_bytes", LongType()),
         StructField("n_pages", LongType()),
         StructField("pdf_version", StringType()),
+        StructField("title", StringType()),
+        StructField("author", StringType()),
     ]
 )
 
@@ -57,37 +59,34 @@ def _pdf_batch_fn(page_sep: str):
                 "text_bytes": [],
                 "n_pages": [],
                 "pdf_version": [],
+                "title": [],
+                "author": [],
             }
+
+            def emit(text, error, n_in, r=None):
+                out["text"].append(text)
+                out["error"].append(error)
+                out["pdf_bytes"].append(n_in)
+                out["text_bytes"].append(
+                    len(text.encode("utf-8")) if text is not None else 0
+                )
+                out["n_pages"].append(r["n_pages"] if r else 0)
+                out["pdf_version"].append(r["pdf_version"] if r else None)
+                out["title"].append(r["title"] if r else None)
+                out["author"].append(r["author"] if r else None)
+
             for pdf in batch["pdf"]:
                 if pdf is None:
-                    out["text"].append(None)
-                    out["error"].append("NullInput")
-                    out["pdf_bytes"].append(0)
-                    out["text_bytes"].append(0)
-                    out["n_pages"].append(0)
-                    out["pdf_version"].append(None)
+                    emit(None, "NullInput", 0)
                     continue
                 pdf = bytes(pdf)
-                out["pdf_bytes"].append(len(pdf))
                 try:
                     r = extract_pdf_ex(pdf, page_sep)
-                    out["text"].append(r["text"])
-                    out["error"].append(None)
-                    out["text_bytes"].append(len(r["text"].encode("utf-8")))
-                    out["n_pages"].append(r["n_pages"])
-                    out["pdf_version"].append(r["pdf_version"])
+                    emit(r["text"], None, len(pdf), r)
                 except PdfError as e:
-                    out["text"].append(None)
-                    out["error"].append(f"PdfError:{e}"[:200])
-                    out["text_bytes"].append(0)
-                    out["n_pages"].append(0)
-                    out["pdf_version"].append(None)
+                    emit(None, f"PdfError:{e}"[:200], len(pdf))
                 except Exception as e:  # never kill the task
-                    out["text"].append(None)
-                    out["error"].append(f"Fail:{type(e).__name__}")
-                    out["text_bytes"].append(0)
-                    out["n_pages"].append(0)
-                    out["pdf_version"].append(None)
+                    emit(None, f"Fail:{type(e).__name__}", len(pdf))
             yield pd.DataFrame(out)
 
     return pdf_batches

@@ -143,8 +143,8 @@ def build_pdf(doc_id: int, text: str, source: str) -> bytes:
 
     # --- fixed object numbers -------------------------------------------
     # 1 catalog, 2 pages, 3 F1, 4 F2, 5 descendant CID font, 6 ToUnicode,
-    # then per page: page dict, content stream.
-    first_page_obj = 7
+    # 7 Info, then per page: page dict, content stream.
+    first_page_obj = 8
     page_objs = [first_page_obj + 2 * i for i in range(n_pages)]
     content_objs = [first_page_obj + 2 * i + 1 for i in range(n_pages)]
 
@@ -182,6 +182,11 @@ def build_pdf(doc_id: int, text: str, source: str) -> bytes:
             "Supplement": 0,
         },
         "DW": 500,
+    }
+    objects[7] = {
+        "Title": b"(" + _esc(f"Doc {doc_id}: {source} corpus") + b")",
+        "Author": b"(" + _esc(f"The {source} journal") + b")",
+        "Producer": b"(rust_html2text_spark pdfcorpus)",
     }
     streams: dict[int, tuple[dict, bytes]] = {6: ({}, _TOUNICODE)}
 
@@ -249,7 +254,7 @@ def _emit_classic(objects: dict[int, object], streams: dict[int, tuple[dict, byt
     buf += b"0000000000 65535 f \n"
     for num in range(1, size):
         buf += f"{offsets[num]:010d} 00000 n \n".encode()
-    trailer = {"Size": size, "Root": _ref(1)}
+    trailer = {"Size": size, "Root": _ref(1), "Info": _ref(7)}
     buf += b"trailer\n" + _ser(trailer) + b"\n"
     buf += f"startxref\n{xref_pos}\n".encode() + b"%%EOF\n"
     return bytes(buf)
@@ -316,6 +321,7 @@ def _emit_xref_stream(objects: dict[int, object], streams: dict[int, tuple[dict,
         "Size": size,
         "W": [1, 3, 2],
         "Root": _ref(1),
+        "Info": _ref(7),
         "Filter": "FlateDecode",
         "Length": len(xref_raw),
     }

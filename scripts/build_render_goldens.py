@@ -100,7 +100,8 @@ def build_rows(sf_dir: str) -> list[dict]:
         try:
             raw_links = extract_main_links(chrome_html)
             links = [
-                {"ordinal": o, "href": h, "anchor": a} for o, h, a in raw_links
+                {"ordinal": o, "href": h, "anchor": a, "nofollow": nf}
+                for o, h, a, nf in raw_links
             ]
             links_json = json.dumps(raw_links, separators=(",", ":"))
         except Exception:
@@ -113,10 +114,13 @@ def build_rows(sf_dir: str) -> list[dict]:
         try:
             pex = extract_pdf_ex(build_pdf(doc_id, text, source))
             pdf_text, pdf_error, pdf_n_pages = pex["text"], None, pex["n_pages"]
+            pdf_title, pdf_author = pex["title"], pex["author"]
         except PdfError as e:
             pdf_text, pdf_error, pdf_n_pages = None, f"PdfError:{e}"[:200], 0
+            pdf_title, pdf_author = None, None
         except Exception as e:
             pdf_text, pdf_error, pdf_n_pages = None, f"Fail:{type(e).__name__}", 0
+            pdf_title, pdf_author = None, None
         rows.append(
             {
                 "doc_key": key,
@@ -133,6 +137,8 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "pdf_text": pdf_text,
                 "pdf_error": pdf_error,
                 "pdf_n_pages": pdf_n_pages,
+                "pdf_title": pdf_title,
+                "pdf_author": pdf_author,
                 "main_links": links,
                 "main_links_json": links_json,
                 "meta_title": meta.get("title"),
@@ -176,6 +182,8 @@ def main() -> None:
                 ("pdf_text", pa.string()),
                 ("pdf_error", pa.string()),
                 ("pdf_n_pages", pa.int64()),
+                ("pdf_title", pa.string()),
+                ("pdf_author", pa.string()),
                 (
                     "main_links",
                     pa.list_(
@@ -184,6 +192,7 @@ def main() -> None:
                                 ("ordinal", pa.int64()),
                                 ("href", pa.string()),
                                 ("anchor", pa.string()),
+                                ("nofollow", pa.int64()),
                             ]
                         )
                     ),

@@ -298,7 +298,7 @@ def test_extract_main_links_drops_chrome_edges():
         b'<p>See <a href="/ref">the reference, here</a>. A second paragraph',
     )
     links = extract_main_links(page)
-    assert links == [(0, "/ref", "the reference, here")]
+    assert links == [(0, "/ref", "the reference, here", 0)]
 
 
 def test_extract_main_links_img_alt_and_no_href():
@@ -310,7 +310,22 @@ def test_extract_main_links_img_alt_and_no_href():
         b'<a href="/a"><img alt="alt text"> trailing</a>'
         b"</p></article></body></html>"
     )
-    assert extract_main_links(page) == [(0, "/a", "alt text trailing")]
+    assert extract_main_links(page) == [(0, "/a", "alt text trailing", 0)]
+
+
+def test_extract_main_links_nofollow_flag():
+    from rust_html2text_spark.engine.extract import extract_main_links
+
+    page = (
+        b"<html><body><article><p>prose with commas, and sentences, enough "
+        b'to win the candidate vote easily here. <a href="/f">followed</a> '
+        b'<a href="/n" rel="NOFOLLOW noopener">sponsored</a>'
+        b"</p></article></body></html>"
+    )
+    assert extract_main_links(page) == [
+        (0, "/f", "followed", 0),
+        (1, "/n", "sponsored", 1),
+    ]
 
 
 def test_spark_extract_links_and_metadata_match_engine(spark):
@@ -330,7 +345,9 @@ def test_spark_extract_links_and_metadata_match_engine(spark):
 
     got_links: dict = {}
     for r in extract_links(pages).collect():
-        got_links.setdefault(r["url"], []).append((r["ordinal"], r["href"], r["anchor"]))
+        got_links.setdefault(r["url"], []).append(
+            (r["ordinal"], r["href"], r["anchor"], r["nofollow"])
+        )
     for url, html in inputs.items():
         want = extract_main_links(html)
         assert sorted(got_links.get(url, [])) == sorted(want), url
