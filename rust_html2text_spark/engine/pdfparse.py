@@ -621,14 +621,14 @@ class PdfDocument:
                     prev = trailer.get("Prev")
                     return int(prev) if isinstance(prev, (int, float)) else None
                 m = _NUMBER_RE.match(self.data, lex.pos)
-                if not m:
+                if not m or not m.group().isdigit():
                     raise PdfError("bad xref subsection")
                 start = int(m.group())
                 lex.pos = m.end()
                 lex.skip_ws()
-                count = lex.parse_number()
+                count = _as_int(lex.parse_number())
                 lex.skip_ws()
-                for k in range(int(count)):
+                for k in range(count):
                     line = self.data[lex.pos : lex.pos + 20]
                     if len(line) < 18:
                         raise PdfError("truncated xref table")
