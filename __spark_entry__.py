@@ -122,6 +122,17 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF half of the crawl link graph: /Annots Link → /A /URI
+    edges per page, in page/annotation order."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_links
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    pages = pdf_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_pdf_links(pages)
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload routing: one binary payload column (HTML for even
     doc_ids, PDF for odd), magic-byte sniffed and routed to the right
@@ -755,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "extract_full": q_extract_full,
         "pdf_extract": q_pdf_extract,
+        "pdf_links": q_pdf_links,
         "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
@@ -1033,6 +1045,14 @@ def oracle_sql() -> dict[str, str]:
             "g.pdf_error AS error, g.pdf_n_pages AS n_pages, "
             "g.pdf_title AS title, g.pdf_author AS author "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
+        "pdf_links": (
+            "SELECT q.url AS url, u.page AS page, u.ordinal AS ordinal, "
+            "u.uri AS uri FROM (SELECT 'https://www.' || d.source || "
+            "'.example.com/pdf/' || CAST(d.doc_id AS VARCHAR) AS url, "
+            f"g.pdf_links FROM {_GOLDENS} g JOIN documents d "
+            f"ON g.doc_key = {_DOC_KEY}"
+            ") q, UNNEST(q.pdf_links) AS t(u)"
         ),
         "extract_links": (
             "SELECT q.url AS url, u.ordinal AS ordinal, u.href AS href, "

@@ -592,6 +592,41 @@ def runs_to_text(runs: list[_Run]) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _decode_pdf_string(val) -> str | None:
+    if isinstance(val, bytes):
+        if val[:2] == b"\xfe\xff":
+            return val[2:].decode("utf-16-be", "replace")
+        return val.decode("latin-1")
+    if isinstance(val, str):
+        return val
+    return None
+
+
+def pdf_links_from_doc(doc: PdfDocument, pages: list[dict]) -> list[tuple[int, int, str]]:
+    """URI link annotations in page order: (page_index, ordinal, uri).
+    Crawled PDFs carry their outbound edges as /Annots Link→/A /URI
+    actions, not as text — this is the PDF half of the crawl link graph
+    (the HTML half is extract.links_from_node)."""
+    out: list[tuple[int, int, str]] = []
+    for page_idx, page in enumerate(pages):
+        annots = doc.resolve(page.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for annot in annots[:1000]:  # hostile annot-bomb bound
+            annot = doc.resolve(annot)
+            if not isinstance(annot, dict):
+                continue
+            if str(doc.resolve(annot.get("Subtype"))) != "Link":
+                continue
+            action = doc.resolve(annot.get("A"))
+            if not isinstance(action, dict) or str(doc.resolve(action.get("S"))) != "URI":
+                continue
+            uri = _decode_pdf_string(doc.resolve(action.get("URI")))
+            if uri:
+                out.append((page_idx, len(out), uri))
+    return out
+
+
 def extract_pdf_ex(data: bytes, page_sep: str = "\f") -> dict:
     """Parse + extract: {text, n_pages, pdf_version}.  Raises PdfError on
     structurally unusable input (the Spark operator maps that to an
@@ -613,6 +648,7 @@ def extract_pdf_ex(data: bytes, page_sep: str = "\f") -> dict:
         "pdf_version": m.group(1).decode("ascii") if m else None,
         "title": info.get("Title"),
         "author": info.get("Author"),
+        "links": pdf_links_from_doc(doc, pages),
     }
 
 

@@ -92,6 +92,71 @@ def _pdf_batch_fn(page_sep: str):
     return pdf_batches
 
 
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("page", LongType()),
+        StructField("ordinal", LongType()),
+        StructField("uri", StringType()),
+    ]
+)
+
+
+def _pdf_links_batch_fn():
+    def links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+
+        from rust_html2text_spark.engine.pdfparse import parse_pdf
+        from rust_html2text_spark.engine.pdftext import PdfError, pdf_links_from_doc
+
+        for batch in batches:
+            out = {"url": [], "page": [], "ordinal": [], "uri": []}
+            for url, pdf in zip(batch["url"], batch["pdf"]):
+                if pdf is None:
+                    continue
+                try:
+                    doc = parse_pdf(bytes(pdf))
+                    links = pdf_links_from_doc(doc, doc.pages())
+                except PdfError:
+                    continue  # unusable pdf contributes no edges
+                except Exception:
+                    continue
+                for page_idx, ordinal, uri in links:
+                    out["url"].append(url)
+                    out["page"].append(page_idx)
+                    out["ordinal"].append(ordinal)
+                    out["uri"].append(uri)
+            yield pd.DataFrame(out)
+
+    return links_batches
+
+
+def extract_pdf_links(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt: int = 0,
+    repartition: str = "salted",
+) -> DataFrame:
+    """The PDF half of the crawl link graph: (url, page, ordinal, uri)
+    from /Annots Link → /A /URI actions — PDFs carry their outbound
+    edges as annotations, not text.  Pairs with
+    operators/extract.extract_links for HTML pages."""
+    if repartition not in ("salted", "none"):
+        raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
+    pages = df.select("url", "pdf")
+    if repartition == "salted":
+        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
+    return pages.mapInPandas(_pdf_links_batch_fn(), LINKS_SCHEMA)
+
+
 def is_pdf_payload(col):
     """Codegen-only PDF sniff on a binary payload column: the %PDF- magic
     within the first 1024 bytes (the same window engine/pdfparse.parse_pdf

@@ -190,6 +190,24 @@ def build_pdf(doc_id: int, text: str, source: str) -> bytes:
     }
     streams: dict[int, tuple[dict, bytes]] = {6: ({}, _TOUNICODE)}
 
+    # link annotations: every page links to the doc url; the first page
+    # also carries a next-doc edge (the crawl-frontier shape)
+    annot_base = first_page_obj + 2 * n_pages
+    for i in range(n_pages):
+        objects[annot_base + i] = {
+            "Type": "Annot",
+            "Subtype": "Link",
+            "Rect": [330, 750, 580, 762],
+            "A": {"Type": "Action", "S": "URI", "URI": b"(" + _esc(url) + b")"},
+        }
+    next_url = f"https://www.{source}.example.com/pdf/{doc_id + 1}"
+    objects[annot_base + n_pages] = {
+        "Type": "Annot",
+        "Subtype": "Link",
+        "Rect": [72, 30, 200, 44],
+        "A": {"Type": "Action", "S": "URI", "URI": b"(" + _esc(next_url) + b")"},
+    }
+
     for i, chunk in enumerate(page_chunks):
         ops = []
         # footer FIRST in the stream — reading order must still put it last
@@ -223,10 +241,14 @@ def build_pdf(doc_id: int, text: str, source: str) -> bytes:
             )
         else:
             streams[content_objs[i]] = ({}, content)
+        annots = [_ref(annot_base + i)]
+        if i == 0:
+            annots.append(_ref(annot_base + n_pages))
         objects[page_objs[i]] = {
             "Type": "Page",
             "Parent": _ref(2),
             "Contents": _ref(content_objs[i]),
+            "Annots": annots,
         }
 
     if xref_stream:

@@ -115,12 +115,15 @@ def build_rows(sf_dir: str) -> list[dict]:
             pex = extract_pdf_ex(build_pdf(doc_id, text, source))
             pdf_text, pdf_error, pdf_n_pages = pex["text"], None, pex["n_pages"]
             pdf_title, pdf_author = pex["title"], pex["author"]
+            pdf_links = [
+                {"page": p, "ordinal": o, "uri": u} for p, o, u in pex["links"]
+            ]
         except PdfError as e:
             pdf_text, pdf_error, pdf_n_pages = None, f"PdfError:{e}"[:200], 0
-            pdf_title, pdf_author = None, None
+            pdf_title, pdf_author, pdf_links = None, None, None
         except Exception as e:
             pdf_text, pdf_error, pdf_n_pages = None, f"Fail:{type(e).__name__}", 0
-            pdf_title, pdf_author = None, None
+            pdf_title, pdf_author, pdf_links = None, None, None
         rows.append(
             {
                 "doc_key": key,
@@ -139,6 +142,7 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "pdf_n_pages": pdf_n_pages,
                 "pdf_title": pdf_title,
                 "pdf_author": pdf_author,
+                "pdf_links": pdf_links,
                 "main_links": links,
                 "main_links_json": links_json,
                 "meta_title": meta.get("title"),
@@ -184,6 +188,18 @@ def main() -> None:
                 ("pdf_n_pages", pa.int64()),
                 ("pdf_title", pa.string()),
                 ("pdf_author", pa.string()),
+                (
+                    "pdf_links",
+                    pa.list_(
+                        pa.struct(
+                            [
+                                ("page", pa.int64()),
+                                ("ordinal", pa.int64()),
+                                ("uri", pa.string()),
+                            ]
+                        )
+                    ),
+                ),
                 (
                     "main_links",
                     pa.list_(

@@ -524,6 +524,60 @@ def test_content_stream_loop_bomb_terminates():
 # ---------------------------------------------------------------------------
 
 
+def test_pdf_link_annotations_round_trip():
+    """Every page links to the doc url; page 0 adds the next-doc edge —
+    extraction preserves page order and annotation order."""
+    r = extract_pdf_ex(build_pdf(3, "short body", "srcA"))
+    assert r["links"] == [
+        (0, 0, "https://www.srcA.example.com/pdf/3"),
+        (0, 1, "https://www.srcA.example.com/pdf/4"),
+    ]
+    assert r["title"] == "Doc 3: srcA corpus"
+    assert r["author"] == "The srcA journal"
+
+
+def test_pdf_links_hostile_annots():
+    """Scalar /Annots, annots without /A, and non-URI actions are skipped
+    without error."""
+    from rust_html2text_spark.engine.pdfparse import parse_pdf
+    from rust_html2text_spark.engine.pdftext import pdf_links_from_doc
+
+    content = b"BT /F1 10 Tf 72 700 Td (x) Tj ET"
+    pdf = _minimal_pdf(content)
+    # splice hostile /Annots into the page dict
+    broken = pdf.replace(
+        b"/Contents 4 0 R",
+        b"/Contents 4 0 R /Annots << /NotA /List >>",
+    )
+    doc = parse_pdf(broken)
+    assert pdf_links_from_doc(doc, doc.pages()) == []
+    broken2 = pdf.replace(
+        b"/Contents 4 0 R",
+        b"/Contents 4 0 R /Annots [ << /Subtype /Link >> "
+        b"<< /Subtype /Link /A << /S /GoTo >> >> 42 ]",
+    )
+    doc2 = parse_pdf(broken2)
+    assert pdf_links_from_doc(doc2, doc2.pages()) == []
+
+
+def test_spark_pdf_links_matches_engine(spark):
+    from rust_html2text_spark.engine.pdfparse import parse_pdf
+    from rust_html2text_spark.engine.pdftext import pdf_links_from_doc
+    from rust_html2text_spark.operators.pdf import extract_pdf_links
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    pages = pdf_pages_from_documents(load_documents(spark, SF_DIR)).limit(30)
+    inputs = {r["url"]: bytes(r["pdf"]) for r in pages.collect()}
+    got: dict = {}
+    for r in extract_pdf_links(pages).collect():
+        got.setdefault(r["url"], []).append((r["page"], r["ordinal"], r["uri"]))
+    for url, pdf in inputs.items():
+        doc = parse_pdf(pdf)
+        want = pdf_links_from_doc(doc, doc.pages())
+        assert sorted(got.get(url, [])) == sorted(want), url
+
+
 def test_corrupt_structural_integers_are_pdferror():
     """Structure-fuzz regressions: an /ObjStm whose /N resolves to a Name
     and a /Kids that is a scalar must surface as PdfError (or be
