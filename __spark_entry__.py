@@ -133,6 +133,33 @@ def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pdf_links(pages)
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified outbound-edge list across both document types: HTML main-
+    content links (endorsement edges only — nofollow dropped) unioned
+    with PDF /Annots URI edges, the next-hop frontier a crawler feeds
+    back into scheduling."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.operators.extract import extract_links
+    from rust_html2text_spark.operators.pdf import extract_pdf_links
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    docs = load_documents(spark, sf_dir)
+    html_edges = (
+        extract_links(chrome_pages_from_documents(docs))
+        .filter(F.col("nofollow") == 0)
+        .select("url", F.col("href").alias("target"), F.lit("html").alias("kind"))
+    )
+    pdf_edges = extract_pdf_links(pdf_pages_from_documents(docs)).select(
+        "url", F.col("uri").alias("target"), F.lit("pdf").alias("kind")
+    )
+    return html_edges.unionByName(pdf_edges)
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload routing: one binary payload column (HTML for even
     doc_ids, PDF for odd), magic-byte sniffed and routed to the right
@@ -767,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_full": q_extract_full,
         "pdf_extract": q_pdf_extract,
         "pdf_links": q_pdf_links,
+        "crawl_frontier": q_crawl_frontier,
         "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
@@ -1045,6 +1073,19 @@ def oracle_sql() -> dict[str, str]:
             "g.pdf_error AS error, g.pdf_n_pages AS n_pages, "
             "g.pdf_title AS title, g.pdf_author AS author "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
+        "crawl_frontier": (
+            "SELECT q.url AS url, u.href AS target, 'html' AS kind "
+            "FROM (SELECT g.url, g.main_links "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+            ") q, UNNEST(q.main_links) AS t(u) WHERE u.nofollow = 0 "
+            "UNION ALL "
+            "SELECT q.url AS url, u.uri AS target, 'pdf' AS kind "
+            "FROM (SELECT 'https://www.' || d.source || "
+            "'.example.com/pdf/' || CAST(d.doc_id AS VARCHAR) AS url, "
+            f"g.pdf_links FROM {_GOLDENS} g JOIN documents d "
+            f"ON g.doc_key = {_DOC_KEY}"
+            ") q, UNNEST(q.pdf_links) AS t(u)"
         ),
         "pdf_links": (
             "SELECT q.url AS url, u.page AS page, u.ordinal AS ordinal, "
