@@ -456,3 +456,66 @@ def write_warc_file(
             fh.write(gzipmod.compress(raw, mtime=0) if gzip_members else raw)
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — Common Crawl's output format
+# ---------------------------------------------------------------------------
+
+
+def write_wet_file(
+    path: str,
+    records: Iterable[tuple[str, datetime | None, str]],
+    gzip_members: bool = True,
+) -> int:
+    """Write (url, warc_ts, extracted_text) as a WET file — WARC-Type:
+    conversion records with text/plain payloads, one gzip member per
+    record (the format Common Crawl publishes ITS extracted text in, so
+    this pipeline's output drops into any WET-consuming tool).
+    Deterministic like write_warc_file."""
+    import gzip as gzipmod
+
+    n = 0
+    with open(path, "wb") as fh:
+        for url, ts, text in records:
+            date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+            rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
+            body = (text or "").encode("utf-8")
+            header = (
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {date}\r\n"
+                "Content-Type: text/plain\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("utf-8")
+            raw = header + body + b"\r\n\r\n"
+            fh.write(gzipmod.compress(raw, mtime=0) if gzip_members else raw)
+            n += 1
+    return n
+
+
+def iter_wet_file(path: str) -> Iterator[tuple[str, datetime | None, str]]:
+    """Yield (url, warc_ts, text) from a WET file's conversion records.
+    Conversion payloads are raw text — no HTTP framing to strip."""
+    for headers, block in iter_warc_records(_file_chunks(path)):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if url is None:
+            continue
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+        yield url, ts, block.decode("utf-8", "replace")
+
+
+def export_wet(rendered, path: str, gzip_members: bool = True) -> int:
+    """Export an extraction result DataFrame (url, text, ...) as ONE WET
+    file — the driver-side collector for small/medium exports and tests.
+    At crawl scale, write per-partition instead:
+    `df.foreachPartition` with write_wet_file per partition id (the
+    records are independent; WET files shard freely)."""
+    rows = rendered.select("url", "text").filter("text is not null").collect()
+    return write_wet_file(
+        path, [(r["url"], None, r["text"]) for r in rows], gzip_members
+    )

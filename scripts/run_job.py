@@ -119,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="streaming checkpoint location (default: <output>/_checkpoint)",
     )
+    ap.add_argument(
+        "--export-wet",
+        metavar="PATH",
+        help="after the batch run, also export the extracted text as a "
+        "WET file (WARC conversion records — Common Crawl's extracted-"
+        "text publication format)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--show-text", metavar="URL", help="print one rendered doc")
@@ -362,6 +369,12 @@ def main() -> None:
         operator=operator,
         bytes_col=bytes_col,
     )
+    if args.export_wet:
+        from rust_html2text_spark.sources.warc import export_wet
+
+        out_df = spark.read.parquet(os.path.join(args.output, "bucket=*"))
+        summary["wet_records"] = export_wet(out_df, args.export_wet)
+        summary["wet_path"] = args.export_wet
     print(summary)
     spark.stop()
 

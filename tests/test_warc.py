@@ -459,3 +459,37 @@ def test_ingest_error_column(spark, tmp_path):
     plain = read_warc_pages(spark, [path])
     assert plain.columns == ["url", "warc_ts", "html", "text", "lang"]
     assert plain.count() == 4
+
+
+def test_wet_round_trip_and_export(spark, tmp_path):
+    """WET (conversion-record) output: write -> read round trip, and the
+    end-to-end export of a render result drops into WET consumers."""
+    from datetime import datetime
+
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.sources.warc import (
+        export_wet,
+        iter_wet_file,
+        write_wet_file,
+    )
+
+    p = str(tmp_path / "direct.wet.gz")
+    recs = [
+        ("https://e.x/1", datetime(2026, 1, 2), "text one\nsecond line"),
+        ("https://e.x/2", None, "unicode päge — dash"),
+    ]
+    assert write_wet_file(p, recs) == 2
+    got = list(iter_wet_file(p))
+    assert [(u, t) for u, _ts, t in got] == [(u, t) for u, _ts, t in recs]
+
+    rendered = render_pages(load_pages(spark, SF_DIR).limit(25), width=80)
+    wet_path = str(tmp_path / "export.wet.gz")
+    n = export_wet(rendered, wet_path)
+    want = {
+        r["url"]: r["text"]
+        for r in rendered.collect()
+        if r["text"] is not None
+    }
+    assert n == len(want)
+    assert {u: t for u, _ts, t in iter_wet_file(wet_path)} == want
