@@ -1124,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.url, g.meta_title AS title, "
             "g.meta_description AS description, g.meta_lang AS lang_attr, "
             "g.meta_canonical AS canonical, g.meta_og_title AS og_title, "
+            "g.meta_robots AS robots, "
             "CAST(NULL AS VARCHAR) AS error "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),

@@ -24,14 +24,16 @@ def _text_of(node: DomNode) -> str:
 
 
 def metadata_from_dom(dom: DomNode) -> dict:
-    """{title, description, lang_attr, canonical, og_title} — first
-    occurrence wins for each (document order), None when absent."""
+    """{title, description, lang_attr, canonical, og_title, robots} —
+    first occurrence wins for each (document order), None when absent;
+    robots is the normalized lowercase directive list."""
     out = {
         "title": None,
         "description": None,
         "lang_attr": None,
         "canonical": None,
         "og_title": None,
+        "robots": None,
     }
 
     def walk(n: DomNode) -> None:
@@ -52,6 +54,14 @@ def metadata_from_dom(dom: DomNode) -> dict:
                     out["description"] = _collapse_ws(content)
                 elif key == "og:title" and out["og_title"] is None:
                     out["og_title"] = _collapse_ws(content)
+                elif key == "robots" and out["robots"] is None:
+                    # normalized lowercase token list — a curation
+                    # pipeline must honor noindex before publishing
+                    out["robots"] = ",".join(
+                        t.strip().lower()
+                        for t in content.split(",")
+                        if t.strip()
+                    ) or None
             elif name == "link":
                 rels = (n.attrs.get("rel") or "").lower().split()
                 href = n.attrs.get("href")

@@ -124,6 +124,7 @@ META_SCHEMA = StructType(
         StructField("lang_attr", StringType()),
         StructField("canonical", StringType()),
         StructField("og_title", StringType()),
+        StructField("robots", StringType()),
         StructField("error", StringType()),
     ]
 )
@@ -209,11 +210,12 @@ def _meta_batch_fn(xml_mode):
                 "lang_attr": [],
                 "canonical": [],
                 "og_title": [],
+                "robots": [],
                 "error": [],
             }
             for html in batch["html"]:
                 if html is None:
-                    for k in ("title", "description", "lang_attr", "canonical", "og_title"):
+                    for k in _META_KEYS:
                         out[k].append(None)
                     out["error"].append("NullInput")
                     continue
@@ -226,9 +228,10 @@ def _meta_batch_fn(xml_mode):
                     out["lang_attr"].append(m["lang_attr"])
                     out["canonical"].append(m["canonical"])
                     out["og_title"].append(m["og_title"])
+                    out["robots"].append(m["robots"])
                     out["error"].append(None)
                 except Exception as e:  # never kill the task
-                    for k in ("title", "description", "lang_attr", "canonical", "og_title"):
+                    for k in _META_KEYS:
                         out[k].append(None)
                     out["error"].append(f"Fail:{type(e).__name__}")
             yield pd.DataFrame(out)
@@ -272,10 +275,11 @@ FULL_SCHEMA = StructType(
         StructField("lang_attr", StringType()),
         StructField("canonical", StringType()),
         StructField("og_title", StringType()),
+        StructField("robots", StringType()),
     ]
 )
 
-_META_KEYS = ("title", "description", "lang_attr", "canonical", "og_title")
+_META_KEYS = ("title", "description", "lang_attr", "canonical", "og_title", "robots")
 
 
 def _full_batch_fn(width: int, config_kwargs: dict):

@@ -154,7 +154,12 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
         F.col("source"),
         F.lit(".example.com/doc/"),
         did,
-        F.lit('"></head><body><nav><a href="/">Home</a> '),
+        F.lit('">'),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        ).otherwise(F.lit("")),
+        F.lit('</head><body><nav><a href="/">Home</a> '),
         F.lit('<a href="/archive">Archive</a> <a href="/about">About us</a> '),
         F.lit('<a href="/contact">Contact</a></nav><header><h1>The '),
         F.col("source"),
@@ -200,7 +205,13 @@ def synthesize_chrome_page_py(
         f'<meta name="description" content="Doc {doc_id} from the '
         f'{source} journal"><meta property="og:title" content="Doc {doc_id}">'
         f'<link rel="canonical" href="https://www.{source}.example.com'
-        f'/doc/{doc_id}"></head><body>'
+        f'/doc/{doc_id}">'
+        + (
+            '<meta name="robots" content="noindex, nofollow">'
+            if doc_id % 7 == 0
+            else ""
+        )
+        + "</head><body>"
         f'<nav><a href="/">Home</a> <a href="/archive">Archive</a> '
         f'<a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
         f'<header><h1>The {source} journal</h1>'

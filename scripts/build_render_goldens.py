@@ -150,6 +150,7 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "meta_lang": meta.get("lang_attr"),
                 "meta_canonical": meta.get("canonical"),
                 "meta_og_title": meta.get("og_title"),
+                "meta_robots": meta.get("robots"),
             }
         )
     return rows
@@ -219,6 +220,7 @@ def main() -> None:
                 ("meta_lang", pa.string()),
                 ("meta_canonical", pa.string()),
                 ("meta_og_title", pa.string()),
+                ("meta_robots", pa.string()),
             ]
         ),
     )

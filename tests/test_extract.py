@@ -284,7 +284,18 @@ def test_page_metadata_absent_fields_none():
         "lang_attr": None,
         "canonical": None,
         "og_title": None,
+        "robots": None,
     }
+
+
+def test_page_metadata_robots_normalized():
+    from rust_html2text_spark.engine.metadata import page_metadata
+
+    m = page_metadata(
+        b'<html><head><meta name="ROBOTS" content=" NoIndex , nofollow ">'
+        b"</head><body><p>x</p></body></html>"
+    )
+    assert m["robots"] == "noindex,nofollow"
 
 
 def test_extract_main_links_drops_chrome_edges():
