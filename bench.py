@@ -179,7 +179,7 @@ def main() -> None:
             "knn_bruteforce",
             "pricing_summary",
         ):
-            fn = entrymod.queries()[name]
+            fn = {**entrymod.queries(), **entrymod.extra_queries()}[name]
             best = None
             for _pass in range(2):
                 t0 = time.monotonic()

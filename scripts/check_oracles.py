@@ -56,7 +56,10 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    queries = entrymod.queries()
+    # Gated registry first (what the driver verifies), then the folded
+    # extras — locally this gate covers BOTH, so nothing registered anywhere
+    # goes unverified.
+    queries = {**entrymod.queries(), **entrymod.extra_queries()}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():

@@ -30,7 +30,21 @@ def con():
 def test_every_query_has_an_oracle():
     import __spark_entry__ as m
 
-    assert set(m.queries()) == set(m.oracle_sql())
+    gated = set(m.queries())
+    extra = set(m.extra_queries())
+    assert not gated & extra, "a query must be gated OR extra, not both"
+    assert gated | extra == set(m.oracle_sql())
+
+
+def test_queries_fit_the_driver_gate():
+    """The driver's correctness gate records only the FIRST 50 queries()
+    entries (observed cap: CORRECTNESS_r04 recorded exactly 50 of 55 and the
+    tail silently lost verification).  Everything registered must be driver-
+    verified, so the gated registry must fit; overflow goes in
+    extra_queries() which scripts/check_oracles.py still verifies locally."""
+    import __spark_entry__ as m
+
+    assert len(m.queries()) <= 50
 
 
 def test_every_oracle_parses_and_plans(con):
