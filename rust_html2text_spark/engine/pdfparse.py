@@ -403,16 +403,26 @@ def _apply_predictor(data: bytes, predictor: int, colors: int, bpc: int, columns
     return bytes(out)
 
 
+# Per-stream decompressed-size budget.  A tiny FlateDecode/LZW bomb in a
+# crawled PDF can otherwise expand to tens of GB and OOM the executor,
+# breaking the operator contract (error row, never a task failure).  Real
+# content streams are text-sized; 64 MiB is orders of magnitude above any
+# legitimate one while keeping worst-case per-row memory bounded.
+_MAX_DECODED_BYTES = 64 * 1024 * 1024
+
+
 def _flate(data: bytes) -> bytes:
+    d = zlib.decompressobj()
     try:
-        return zlib.decompress(data)
-    except zlib.error:
-        # tolerate truncated/garbage-trailed streams (common in crawls)
-        d = zlib.decompressobj()
-        try:
-            return d.decompress(data)
-        except zlib.error as e:
-            raise PdfError(f"FlateDecode failed: {e}") from None
+        out = d.decompress(data, _MAX_DECODED_BYTES + 1)
+    except zlib.error as e:
+        raise PdfError(f"FlateDecode failed: {e}") from None
+    if len(out) > _MAX_DECODED_BYTES:
+        raise PdfError("FlateDecode output exceeds decompression budget")
+    # tolerate truncated/garbage-trailed streams (common in crawls):
+    # whatever decoded before the error is returned; a clean stream has
+    # consumed all input at this point anyway.
+    return out
 
 
 def _ascii_hex(data: bytes) -> bytes:
@@ -443,6 +453,8 @@ def _run_length(data: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(data)
     while i < n:
+        if len(out) > _MAX_DECODED_BYTES:
+            raise PdfError("RunLengthDecode output exceeds decompression budget")
         length = data[i]
         i += 1
         if length == 128:
@@ -489,6 +501,8 @@ def _lzw(data: bytes, early_change: int = 1) -> bytes:
             else:
                 raise PdfError("LZWDecode: code out of range")
             out.extend(entry)
+            if len(out) > _MAX_DECODED_BYTES:
+                raise PdfError("LZWDecode output exceeds decompression budget")
             prev = entry
             if len(table) + early_change - 1 >= (1 << code_len) and code_len < 12:
                 code_len += 1

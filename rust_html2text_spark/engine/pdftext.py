@@ -145,6 +145,7 @@ def _base_encoding_map(name: str) -> dict[int, str]:
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_EI_RE = re.compile(rb"\sEI(?=[\s\x00]|$)")
 
 
 def _hex_to_int(tok: bytes) -> int:
@@ -388,6 +389,12 @@ class _GState:
 
 
 _MAX_RUNS_PER_PAGE = 200_000
+# Form XObjects may nest (ISO 32000-1 §8.10); real documents rarely go
+# past 2-3 levels — the guard stops hostile deep/self-referential chains.
+_MAX_FORM_DEPTH = 8
+# Whole-document link-annotation bound: the per-page cap alone still lets
+# a hostile 10k-page PDF emit ~10M tuples (GBs) from one row.
+_MAX_LINKS_PER_DOC = 100_000
 
 
 def interpret_page(
@@ -399,32 +406,17 @@ def interpret_page(
     so each font loads once per document, not once per page."""
     content = doc.page_content(page)
     resources = doc.resolve(page.get("Resources")) or {}
-    font_dicts = doc.resolve(resources.get("Font")) or {}
-    fonts: dict[str, Font] = {}
     if font_cache is None:
         font_cache = {}
-
-    def get_font(name: str) -> Font:
-        got = fonts.get(name)
-        if got is None:
-            fd = doc.resolve(font_dicts.get(name)) if isinstance(font_dicts, dict) else None
-            if isinstance(fd, dict):
-                got = font_cache.get(id(fd))
-                if got is None:
-                    got = Font.load(doc, fd)
-                    font_cache[id(fd)] = got
-            else:
-                got = _DEFAULT_FONT
-            fonts[name] = got
-        return got
 
     runs: list[_Run] = []
     g = _GState()
     stack: list[_GState] = []
     tm = _IDENTITY  # text matrix
     tlm = _IDENTITY  # text line matrix
-    operands: list = []
     in_text = False
+    steps = 0
+    max_steps = 4_000_000
 
     def num(v, default=0.0) -> float:
         return float(v) if isinstance(v, (int, float)) else default
@@ -455,91 +447,153 @@ def interpret_page(
         tlm = _mat_mul((1, 0, 0, 1, tx, ty), tlm)
         tm = tlm
 
-    lex = Lexer(content)
-    steps = 0
-    max_steps = 4_000_000
-    while steps < max_steps:
-        steps += 1
-        try:
-            tok = lex.next_token()
-        except PdfError:
-            break
-        if tok is None:
-            break
-        if not (isinstance(tok, tuple) and len(tok) == 2 and tok[0] == "op"):
-            operands.append(tok)
-            if len(operands) > 64:
-                del operands[:-16]
-            continue
-        op = tok[1]
-        try:
-            if op == b"q":
-                stack.append(g.clone())
-            elif op == b"Q":
-                if stack:
-                    g = stack.pop()
-            elif op == b"cm" and len(operands) >= 6:
-                g.ctm = _mat_mul(tuple(num(v) for v in operands[-6:]), g.ctm)
-            elif op == b"BT":
-                in_text = True
-                tm = tlm = _IDENTITY
-            elif op == b"ET":
-                in_text = False
-            elif op == b"Tf" and len(operands) >= 2:
-                if isinstance(operands[-2], Name):
-                    g.font = get_font(str(operands[-2]))
-                g.size = num(operands[-1])
-            elif op == b"Tc" and operands:
-                g.char_sp = num(operands[-1])
-            elif op == b"Tw" and operands:
-                g.word_sp = num(operands[-1])
-            elif op == b"Tz" and operands:
-                g.hscale = num(operands[-1], 100.0) / 100.0
-            elif op == b"TL" and operands:
-                g.leading = num(operands[-1])
-            elif op == b"Ts" and operands:
-                g.rise = num(operands[-1])
-            elif op == b"Td" and len(operands) >= 2:
-                next_line(num(operands[-2]), num(operands[-1]))
-            elif op == b"TD" and len(operands) >= 2:
-                g.leading = -num(operands[-1])
-                next_line(num(operands[-2]), num(operands[-1]))
-            elif op == b"Tm" and len(operands) >= 6:
-                tlm = tuple(num(v) for v in operands[-6:])
-                tm = tlm
-            elif op == b"T*":
-                next_line(0.0, -g.leading)
-            elif op == b"Tj" and operands:
-                if in_text:
-                    show(operands[-1])
-            elif op == b"'" and operands:
-                next_line(0.0, -g.leading)
-                if in_text:
-                    show(operands[-1])
-            elif op == b'"' and len(operands) >= 3:
-                g.word_sp = num(operands[-3])
-                g.char_sp = num(operands[-2])
-                next_line(0.0, -g.leading)
-                if in_text:
-                    show(operands[-1])
-            elif op == b"TJ" and operands and isinstance(operands[-1], list):
-                if in_text:
-                    tm_adj = 0.0
-                    for el in operands[-1]:
-                        if isinstance(el, bytes):
-                            show(el)
-                        elif isinstance(el, (int, float)):
-                            tx = -float(el) / 1000.0 * g.size * g.hscale
-                            tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
-                            tm_adj += tx
-            elif op == b"BI":
-                # inline image: skip to `EI` delimited by whitespace
-                m = re.search(rb"\sEI(?=[\s\x00]|$)", content[lex.pos :])
-                lex.pos = lex.pos + m.end() if m else len(content)
-            # all painting/path/colour operators: no text effect
-        except (PdfError, ValueError, TypeError, IndexError):
-            pass  # hostile operand shapes: drop the op, keep going
-        operands.clear()
+    def exec_stream(content: bytes, resources: dict, depth: int, active: frozenset) -> None:
+        """Execute one content stream against the shared graphics/text state.
+        Called once for the page stream and recursively for /Subtype /Form
+        XObjects (Do operator) — text inside Form XObjects (stamps, headers,
+        generated layouts) is real content the pdftotext family emits, so
+        dropping Do would silently lose it.  `active` carries the ids of
+        streams currently on the exec stack (self-reference guard);
+        `steps` is a document-wide budget shared across recursion."""
+        nonlocal g, tm, tlm, in_text, steps
+        font_dicts = doc.resolve(resources.get("Font")) or {}
+        xobjects = doc.resolve(resources.get("XObject")) or {}
+        fonts: dict[str, Font] = {}
+
+        def get_font(name: str) -> Font:
+            got = fonts.get(name)
+            if got is None:
+                fd = doc.resolve(font_dicts.get(name)) if isinstance(font_dicts, dict) else None
+                if isinstance(fd, dict):
+                    got = font_cache.get(id(fd))
+                    if got is None:
+                        got = Font.load(doc, fd)
+                        font_cache[id(fd)] = got
+                else:
+                    got = _DEFAULT_FONT
+                fonts[name] = got
+            return got
+
+        def do_xobject(name: str) -> None:
+            nonlocal g
+            if depth >= _MAX_FORM_DEPTH or not isinstance(xobjects, dict):
+                return
+            xo = doc.resolve(xobjects.get(name))
+            if not isinstance(xo, Stream) or id(xo) in active:
+                return
+            d = doc.resolve(xo.dict.get("Subtype"))
+            if str(d) != "Form":
+                return  # images and other XObjects paint no text
+            inner = decode_stream(xo, doc.resolve)
+            # ISO 32000-1 §8.10.1: executing a form implicitly saves the
+            # graphics state, composes /Matrix onto the CTM, runs the
+            # form's stream with its own /Resources (inheriting the
+            # parent's when absent), then restores.
+            saved_g, saved_depth = g.clone(), len(stack)
+            mat = doc.resolve(xo.dict.get("Matrix"))
+            if isinstance(mat, list) and len(mat) == 6:
+                g.ctm = _mat_mul(tuple(num(v) for v in mat), g.ctm)
+            sub_res = doc.resolve(xo.dict.get("Resources"))
+            exec_stream(
+                inner,
+                sub_res if isinstance(sub_res, dict) else resources,
+                depth + 1,
+                active | {id(xo)},
+            )
+            del stack[saved_depth:]  # unbalanced q inside the form
+            g = saved_g
+
+        operands: list = []
+        lex = Lexer(content)
+        while steps < max_steps:
+            steps += 1
+            try:
+                tok = lex.next_token()
+            except PdfError:
+                break
+            if tok is None:
+                break
+            if not (isinstance(tok, tuple) and len(tok) == 2 and tok[0] == "op"):
+                operands.append(tok)
+                if len(operands) > 64:
+                    del operands[:-16]
+                continue
+            op = tok[1]
+            try:
+                if op == b"q":
+                    stack.append(g.clone())
+                elif op == b"Q":
+                    if stack:
+                        g = stack.pop()
+                elif op == b"cm" and len(operands) >= 6:
+                    g.ctm = _mat_mul(tuple(num(v) for v in operands[-6:]), g.ctm)
+                elif op == b"BT":
+                    in_text = True
+                    tm = tlm = _IDENTITY
+                elif op == b"ET":
+                    in_text = False
+                elif op == b"Tf" and len(operands) >= 2:
+                    if isinstance(operands[-2], Name):
+                        g.font = get_font(str(operands[-2]))
+                    g.size = num(operands[-1])
+                elif op == b"Tc" and operands:
+                    g.char_sp = num(operands[-1])
+                elif op == b"Tw" and operands:
+                    g.word_sp = num(operands[-1])
+                elif op == b"Tz" and operands:
+                    g.hscale = num(operands[-1], 100.0) / 100.0
+                elif op == b"TL" and operands:
+                    g.leading = num(operands[-1])
+                elif op == b"Ts" and operands:
+                    g.rise = num(operands[-1])
+                elif op == b"Td" and len(operands) >= 2:
+                    next_line(num(operands[-2]), num(operands[-1]))
+                elif op == b"TD" and len(operands) >= 2:
+                    g.leading = -num(operands[-1])
+                    next_line(num(operands[-2]), num(operands[-1]))
+                elif op == b"Tm" and len(operands) >= 6:
+                    tlm = tuple(num(v) for v in operands[-6:])
+                    tm = tlm
+                elif op == b"T*":
+                    next_line(0.0, -g.leading)
+                elif op == b"Tj" and operands:
+                    if in_text:
+                        show(operands[-1])
+                elif op == b"'" and operands:
+                    next_line(0.0, -g.leading)
+                    if in_text:
+                        show(operands[-1])
+                elif op == b'"' and len(operands) >= 3:
+                    g.word_sp = num(operands[-3])
+                    g.char_sp = num(operands[-2])
+                    next_line(0.0, -g.leading)
+                    if in_text:
+                        show(operands[-1])
+                elif op == b"TJ" and operands and isinstance(operands[-1], list):
+                    if in_text:
+                        tm_adj = 0.0
+                        for el in operands[-1]:
+                            if isinstance(el, bytes):
+                                show(el)
+                            elif isinstance(el, (int, float)):
+                                tx = -float(el) / 1000.0 * g.size * g.hscale
+                                tm = _mat_mul((1, 0, 0, 1, tx, 0), tm)
+                                tm_adj += tx
+                elif op == b"Do" and operands and isinstance(operands[-1], Name):
+                    do_xobject(str(operands[-1]))
+                elif op == b"BI":
+                    # inline image: skip to `EI` delimited by whitespace.
+                    # search(content, lex.pos) scans in place — slicing
+                    # content[lex.pos:] would copy the remaining stream per
+                    # BI op, letting a hostile stream force quadratic memcpy.
+                    m = _EI_RE.search(content, lex.pos)
+                    lex.pos = m.end() if m else len(content)
+                # all other painting/path/colour operators: no text effect
+            except (PdfError, ValueError, TypeError, IndexError):
+                pass  # hostile operand shapes: drop the op, keep going
+            operands.clear()
+
+    exec_stream(content, resources, 0, frozenset())
     return runs
 
 
@@ -609,6 +663,8 @@ def pdf_links_from_doc(doc: PdfDocument, pages: list[dict]) -> list[tuple[int, i
     (the HTML half is extract.links_from_node)."""
     out: list[tuple[int, int, str]] = []
     for page_idx, page in enumerate(pages):
+        if len(out) >= _MAX_LINKS_PER_DOC:
+            break  # per-page cap alone still allows pages×1000 tuples
         annots = doc.resolve(page.get("Annots"))
         if not isinstance(annots, list):
             continue

@@ -841,3 +841,197 @@ def test_spark_pdf_error_rows_not_task_failures(spark):
     assert rows["u2"]["error"] is not None
     assert rows["u3"]["error"] is None and "valid pdf body" in rows["u3"]["text"]
     assert rows["u4"]["error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Round-5 hardening: decompression budgets, Form XObjects, link caps
+# ---------------------------------------------------------------------------
+
+
+def _classic_pdf(objects: dict[int, bytes]) -> bytes:
+    """Assemble a classic-xref PDF from raw object bodies (test helper)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for n in sorted(objects):
+        offsets[n] = len(out)
+        out += b"%d 0 obj\n" % n + objects[n] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = max(objects)
+    out += b"xref\n0 %d\n" % (maxn + 1)
+    out += b"0000000000 65535 f \n"
+    for n in range(1, maxn + 1):
+        out += b"%010d 00000 n \n" % offsets.get(n, 0)
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (maxn + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def _stream_obj(extra: bytes, data: bytes) -> bytes:
+    return (
+        b"<< " + extra + b" /Length %d >>\nstream\n" % len(data)
+        + data
+        + b"\nendstream"
+    )
+
+
+def test_flate_bomb_is_pdf_error_not_oom(monkeypatch):
+    from rust_html2text_spark.engine import pdfparse
+
+    monkeypatch.setattr(pdfparse, "_MAX_DECODED_BYTES", 1 << 16)
+    bomb = zlib.compress(b"\0" * (1 << 22))  # 4 MiB from ~4 KiB
+    s = FakeStream({"Filter": Name("FlateDecode")}, bomb)
+    with pytest.raises(PdfError, match="budget"):
+        decode_stream(s)
+
+
+def test_run_length_bomb_is_pdf_error(monkeypatch):
+    from rust_html2text_spark.engine import pdfparse
+
+    monkeypatch.setattr(pdfparse, "_MAX_DECODED_BYTES", 1 << 10)
+    bomb = b"\x81A" * 5000  # each pair expands to 128 bytes
+    s = FakeStream({"Filter": Name("RunLengthDecode")}, bomb)
+    with pytest.raises(PdfError, match="budget"):
+        decode_stream(s)
+
+
+def test_lzw_bomb_is_pdf_error(monkeypatch):
+    from rust_html2text_spark.engine import pdfparse
+
+    monkeypatch.setattr(pdfparse, "_MAX_DECODED_BYTES", 1 << 10)
+    data = b"ABCD" * 2000
+    s = FakeStream({"Filter": Name("LZWDecode")}, _lzw_encode(data))
+    with pytest.raises(PdfError, match="budget"):
+        decode_stream(s)
+
+
+def test_truncated_flate_still_tolerated():
+    # the lenient path (garbage-trailed / truncated crawl streams) must
+    # survive the budget refactor
+    comp = zlib.compress(b"hello world payload")
+    s = FakeStream({"Filter": Name("FlateDecode")}, comp + b"GARBAGE")
+    assert decode_stream(s) == b"hello world payload"
+
+
+_FONT = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+
+def test_form_xobject_text_extracted():
+    """Text painted via /Subtype /Form XObjects (stamps, headers) must
+    appear in the extraction, with the form /Matrix composed onto the CTM
+    and graphics state restored afterwards (ISO 32000-1 8.10)."""
+    page_content = (
+        b"BT /F1 12 Tf 72 700 Td (page text) Tj ET "
+        b"q /Fm1 Do Q "
+        b"BT /F1 12 Tf 72 600 Td (after form) Tj ET"
+    )
+    form_content = b"BT /F1 12 Tf 0 0 Td (stamp text) Tj ET"
+    pdf = _classic_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> "
+            b"/XObject << /Fm1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: _stream_obj(b"", page_content),
+        5: _stream_obj(
+            b"/Type /XObject /Subtype /Form /BBox [0 0 200 50] "
+            b"/Matrix [1 0 0 1 72 650] "
+            b"/Resources << /Font << /F1 6 0 R >> >>",
+            form_content,
+        ),
+        6: _FONT,
+    })
+    text = extract_pdf_text(pdf)
+    assert "page text" in text
+    assert "stamp text" in text
+    assert "after form" in text
+    # /Matrix placed the stamp between the two page lines
+    lines = [ln for ln in text.splitlines() if ln.strip()]
+    assert lines.index("page text") < lines.index("stamp text") < lines.index(
+        "after form"
+    )
+
+
+def test_form_xobject_inherits_parent_resources():
+    # form without /Resources: fonts resolve against the page's dict
+    pdf = _classic_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> "
+            b"/XObject << /Fm1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: _stream_obj(b"", b"q /Fm1 Do Q"),
+        5: _stream_obj(
+            b"/Type /XObject /Subtype /Form /BBox [0 0 200 50]",
+            b"BT /F1 12 Tf 10 10 Td (inherited) Tj ET",
+        ),
+        6: _FONT,
+    })
+    assert "inherited" in extract_pdf_text(pdf)
+
+
+def test_self_referential_form_xobject_terminates():
+    # form whose stream invokes itself: the active-set guard must stop it
+    pdf = _classic_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> "
+            b"/XObject << /Fm1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: _stream_obj(b"", b"/Fm1 Do"),
+        5: _stream_obj(
+            b"/Type /XObject /Subtype /Form /BBox [0 0 9 9] "
+            b"/Resources << /Font << /F1 6 0 R >> "
+            b"/XObject << /Fm1 5 0 R >> >>",
+            b"BT /F1 12 Tf 0 0 Td (once) Tj ET /Fm1 Do",
+        ),
+        6: _FONT,
+    })
+    text = extract_pdf_text(pdf)
+    assert text.count("once") == 1
+
+
+def test_image_xobject_do_is_noop():
+    pdf = _classic_pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> "
+            b"/XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"
+        ),
+        4: _stream_obj(b"", b"BT /F1 12 Tf 72 700 Td (visible) Tj ET /Im1 Do"),
+        5: _stream_obj(
+            b"/Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8",
+            b"\xff",
+        ),
+        6: _FONT,
+    })
+    assert "visible" in extract_pdf_text(pdf)
+
+
+def test_pdf_links_total_cap(monkeypatch):
+    from rust_html2text_spark.engine import pdftext
+    from rust_html2text_spark.engine.pdftext import pdf_links_from_doc
+
+    monkeypatch.setattr(pdftext, "_MAX_LINKS_PER_DOC", 25)
+
+    class FakeDoc:
+        def resolve(self, x):
+            return x
+
+    annot = {
+        "Subtype": Name("Link"),
+        "A": {"S": Name("URI"), "URI": b"https://example.com/x"},
+    }
+    pages = [{"Annots": [annot] * 10} for _ in range(10)]
+    links = pdf_links_from_doc(FakeDoc(), pages)
+    assert 25 <= len(links) < 100  # stops at the first page boundary past cap
