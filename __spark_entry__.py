@@ -135,9 +135,10 @@ def q_pdf_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unified outbound-edge list across both document types: HTML main-
-    content links (endorsement edges only — nofollow dropped) unioned
-    with PDF /Annots URI edges, the next-hop frontier a crawler feeds
-    back into scheduling."""
+    content links (endorsement edges only — nofollow dropped, hrefs
+    RFC-3986-resolved against the page's effective base, non-fetchable
+    schemes dropped) unioned with PDF /Annots URI edges, the next-hop
+    frontier a crawler feeds back into scheduling."""
     from pyspark.sql import functions as F
 
     from rust_html2text_spark.operators.extract import extract_links
@@ -152,7 +153,15 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     html_edges = (
         extract_links(chrome_pages_from_documents(docs))
         .filter(F.col("nofollow") == 0)
-        .select("url", F.col("href").alias("target"), F.lit("html").alias("kind"))
+        # a frontier edge must be an absolute, fetchable URL: unresolvable
+        # hrefs (target_abs NULL) and non-http(s) schemes are noise
+        .filter(
+            F.col("target_abs").startswith("http://")
+            | F.col("target_abs").startswith("https://")
+        )
+        .select(
+            "url", F.col("target_abs").alias("target"), F.lit("html").alias("kind")
+        )
     )
     pdf_edges = extract_pdf_links(pdf_pages_from_documents(docs)).select(
         "url", F.col("uri").alias("target"), F.lit("pdf").alias("kind")
@@ -1095,10 +1104,11 @@ def oracle_sql() -> dict[str, str]:
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "crawl_frontier": (
-            "SELECT q.url AS url, u.href AS target, 'html' AS kind "
+            "SELECT q.url AS url, u.target_abs AS target, 'html' AS kind "
             "FROM (SELECT g.url, g.main_links "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
             ") q, UNNEST(q.main_links) AS t(u) WHERE u.nofollow = 0 "
+            "AND (u.target_abs LIKE 'http://%' OR u.target_abs LIKE 'https://%') "
             "UNION ALL "
             "SELECT q.url AS url, u.uri AS target, 'pdf' AS kind "
             "FROM (SELECT 'https://www.' || d.source || "
@@ -1117,7 +1127,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_links": (
             "SELECT q.url AS url, u.ordinal AS ordinal, u.href AS href, "
-            "u.anchor AS anchor, u.nofollow AS nofollow "
+            "u.anchor AS anchor, u.nofollow AS nofollow, "
+            "u.target_abs AS target_abs "
             "FROM (SELECT g.url, g.main_links "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
             ") q, UNNEST(q.main_links) AS t(u)"

@@ -240,6 +240,55 @@ def _collapse_ws(s: str) -> str:
     return " ".join(s.split())
 
 
+def resolve_url(base: str | None, href: str) -> str | None:
+    """RFC-3986 reference resolution (urllib.parse.urljoin, which
+    implements §5).  Returns the absolute target, or None when `href` is
+    relative and no absolute base is available — a frontier consumer must
+    treat None as an unusable edge, never as a literal URL.  Absolute
+    references (including non-hierarchical ones like mailto:/javascript:)
+    pass through untouched."""
+    from urllib.parse import urljoin, urlsplit
+
+    href = href.strip()
+    try:
+        if urlsplit(href).scheme:
+            return href
+        if not base or not urlsplit(base).scheme:
+            return None
+        return urljoin(base, href)
+    except ValueError:
+        return None
+
+
+def base_href_from_dom(dom: DomNode) -> str | None:
+    """First <base href> in the document (WHATWG: first wins; later base
+    elements are ignored).  Must be read from the PRE-strip DOM — <base>
+    lives in <head>, which the boilerplate strip discards."""
+
+    def walk(n: DomNode) -> str | None:
+        if n.kind == "element" and (n.name or "").lower() == "base":
+            href = n.attrs.get("href")
+            if href is not None:
+                return href
+        for c in n.children:
+            got = walk(c)
+            if got is not None:
+                return got
+        return None
+
+    return walk(dom)
+
+
+def effective_base(page_url: str | None, base_href: str | None) -> str | None:
+    """The document's base URL per WHATWG: <base href> resolved against
+    the page URL (the fallback base), else the page URL itself."""
+    if base_href is not None:
+        resolved = resolve_url(page_url, base_href)
+        if resolved is not None:
+            return resolved
+    return page_url
+
+
 def links_from_node(node: DomNode) -> list[tuple[int, str, str, int]]:
     """All <a href> links under `node` in document order:
     (ordinal, href, whitespace-collapsed anchor text, nofollow 0/1).
@@ -277,19 +326,35 @@ def links_from_node(node: DomNode) -> list[tuple[int, str, str, int]]:
     return out
 
 
-def extract_main_links(html: bytes | str, config=None) -> list[tuple[int, str, str]]:
+def _resolve_links(
+    links: list[tuple[int, str, str, int]], base: str | None
+) -> list[tuple[int, str, str, int, str | None]]:
+    return [
+        (o, href, anchor, nf, resolve_url(base, href))
+        for o, href, anchor, nf in links
+    ]
+
+
+def extract_main_links(
+    html: bytes | str, config=None, base_url: str | None = None
+) -> list[tuple[int, str, str, int, str | None]]:
     """Outbound links of the MAIN content only (the crawl-graph edges a
     curation pipeline wants — chrome/nav/footer links are exactly the
     noise this tier exists to drop).  Same strip+score pass as
-    extract_main; no rendering."""
+    extract_main; no rendering.  Each tuple is (ordinal, raw href,
+    anchor, nofollow, target_abs) where target_abs is the RFC-3986
+    resolution of href against the page's effective base (<base href>
+    honoured, first-wins) — real pages are full of href="/about" and
+    "../x.html", which are unusable as frontier edges unresolved."""
     from .api import _free_dom, plain_config
 
     if config is None:
         config = plain_config()
     dom = parse_html(html, xml_mode=config.xml)
     try:
+        base = effective_base(base_url, base_href_from_dom(dom))
         winner, _ = extract_main_node(dom)
-        return links_from_node(winner)
+        return _resolve_links(links_from_node(winner), base)
     finally:
         _free_dom(dom)
 
@@ -301,7 +366,9 @@ def extract_main(html: bytes | str, width: int = 80, config=None) -> str:
     return extract_main_ex(html, width, config)["text"]
 
 
-def extract_main_full(html: bytes | str, width: int = 80, config=None) -> dict:
+def extract_main_full(
+    html: bytes | str, width: int = 80, config=None, base_url: str | None = None
+) -> dict:
     """One-parse fusion of the whole extraction tier's per-page work:
     {text, winner_tag, score, n_candidates, links, meta} — a pipeline
     that wants extracted text AND the main-content link graph AND head
@@ -318,12 +385,14 @@ def extract_main_full(html: bytes | str, width: int = 80, config=None) -> dict:
     # metadata first: it reads the pre-strip DOM (head survives the strip
     # today, but the contract is "same as page_metadata on raw bytes")
     meta = metadata_from_dom(dom)
-    out = _extract_ex_from_dom(dom, width, config)
+    out = _extract_ex_from_dom(dom, width, config, base_url)
     out["meta"] = meta
     return out
 
 
-def extract_main_ex(html: bytes | str, width: int = 80, config=None) -> dict:
+def extract_main_ex(
+    html: bytes | str, width: int = 80, config=None, base_url: str | None = None
+) -> dict:
     """extract_main plus the scoring lineage
     {text, winner_tag, score, n_candidates, links}."""
     from .api import plain_config
@@ -331,10 +400,12 @@ def extract_main_ex(html: bytes | str, width: int = 80, config=None) -> dict:
     if config is None:
         config = plain_config()
     dom = parse_html(html, xml_mode=config.xml)
-    return _extract_ex_from_dom(dom, width, config)
+    return _extract_ex_from_dom(dom, width, config, base_url)
 
 
-def _extract_ex_from_dom(dom: DomNode, width: int, config) -> dict:
+def _extract_ex_from_dom(
+    dom: DomNode, width: int, config, base_url: str | None = None
+) -> dict:
     """Strip + score + render an already-parsed DOM (consumes it)."""
     from .api import _HtmlContext, _free_dom
     from .errors import Fail, TooNarrow
@@ -342,8 +413,10 @@ def _extract_ex_from_dom(dom: DomNode, width: int, config) -> dict:
     from .render import render_tree_to_string
 
     try:
+        # <base> lives in <head>: read it before the strip discards it
+        base = effective_base(base_url, base_href_from_dom(dom))
         winner, info = extract_main_node(dom)
-        info["links"] = links_from_node(winner)
+        info["links"] = _resolve_links(links_from_node(winner), base)
         wrapped = _wrap_as_document(winner)
         context = _HtmlContext(config)
         render_tree = dom_to_render_tree(wrapped, context)

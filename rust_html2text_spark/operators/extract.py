@@ -113,6 +113,10 @@ LINKS_SCHEMA = StructType(
         StructField("href", StringType()),
         StructField("anchor", StringType()),
         StructField("nofollow", LongType()),
+        # RFC-3986 resolution of href against the page's effective base
+        # (<base href> honoured); NULL when unresolvable — a frontier
+        # consumer filters on this, never on the raw href
+        StructField("target_abs", StringType()),
     ]
 )
 
@@ -146,22 +150,30 @@ def _links_batch_fn(config_kwargs: dict):
 
         config = Config(**config_kwargs) if config_kwargs else plain_config()
         for batch in batches:
-            out = {"url": [], "ordinal": [], "href": [], "anchor": [], "nofollow": []}
+            out = {
+                "url": [],
+                "ordinal": [],
+                "href": [],
+                "anchor": [],
+                "nofollow": [],
+                "target_abs": [],
+            }
             for url, html in zip(batch["url"], batch["html"]):
                 if html is None:
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
                 try:
-                    links = extract_main_links(html, config)
+                    links = extract_main_links(html, config, base_url=url)
                 except Exception:
                     continue  # unparseable page contributes no edges
-                for o, href, anchor, nofollow in links:
+                for o, href, anchor, nofollow, target_abs in links:
                     out["url"].append(url)
                     out["ordinal"].append(o)
                     out["href"].append(href)
                     out["anchor"].append(anchor)
                     out["nofollow"].append(nofollow)
+                    out["target_abs"].append(target_abs)
             yield pd.DataFrame(out)
 
     return links_batches
@@ -327,14 +339,14 @@ def _full_batch_fn(width: int, config_kwargs: dict):
                 for k in _META_KEYS:
                     out[k].append(meta.get(k) if meta else None)
 
-            for html in batch["html"]:
+            for url, html in zip(batch["url"], batch["html"]):
                 if html is None:
                     emit(None, "NullInput", 0)
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
                 try:
-                    r = extract_main_full(html, width, config)
+                    r = extract_main_full(html, width, config, base_url=url)
                     emit(r["text"], None, len(html), r, r["links"], r["meta"])
                 except RenderError as e:
                     # links + metadata do not depend on rendering: recover
@@ -342,7 +354,7 @@ def _full_batch_fn(width: int, config_kwargs: dict):
                     # graph and metadata tables (matches the goldens,
                     # which compute the three independently)
                     try:
-                        links = extract_main_links(html, config)
+                        links = extract_main_links(html, config, base_url=url)
                         meta = page_metadata(html, xml_mode=config.xml)
                     except Exception:
                         links, meta = None, None

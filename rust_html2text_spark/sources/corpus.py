@@ -159,6 +159,19 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
             F.col("doc_id") % 7 == 0,
             F.lit('<meta name="robots" content="noindex, nofollow">'),
         ).otherwise(F.lit("")),
+        # base-URL lanes: resolution of relative hrefs must be exercised
+        # against <base href> (absolute and page-relative, WHATWG
+        # first-wins) as well as the plain page URL
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<base href="https://static.'),
+                F.col("source"),
+                F.lit('.example.net/app/">'),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.lit('<base href="/ctx/a/">'))
+        .otherwise(F.lit("")),
         F.lit('</head><body><nav><a href="/">Home</a> '),
         F.lit('<a href="/archive">Archive</a> <a href="/about">About us</a> '),
         F.lit('<a href="/contact">Contact</a></nav><header><h1>The '),
@@ -166,6 +179,22 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(' journal</h1><a href="/login">Log in</a></header>'),
         F.lit('<div id="content"><article>'),
         body,
+        # in-content reference links in the href shapes a real crawl is
+        # full of: path-relative, root-relative, dotdot, protocol-
+        # relative, fragment-only, and non-hierarchical (mailto)
+        F.lit('<p class="refs">Further reading for this article: '),
+        F.lit('the <a href="notes/'),
+        did,
+        F.lit('.html">annotated notes</a>, a list of <a href="/rel/'),
+        did,
+        F.lit('">related articles</a>, the <a href="../up/'),
+        did,
+        F.lit('">archive copy</a>, a <a href="//cdn.example.org/r/'),
+        did,
+        F.lit('">mirror</a>, the <a href="#comments">comments</a> below, '),
+        F.lit('and <a href="mailto:editor@'),
+        F.col("source"),
+        F.lit('.example.com">the editor</a>.</p>'),
         F.lit('</article></div><div class="sidebar"><h3>Related</h3>'),
         F.lit('<p><a href="/doc/'),
         (F.col("doc_id") + 1).cast("string"),
@@ -211,12 +240,25 @@ def synthesize_chrome_page_py(
             if doc_id % 7 == 0
             else ""
         )
+        + (
+            f'<base href="https://static.{source}.example.net/app/">'
+            if doc_id % 5 == 0
+            else ('<base href="/ctx/a/">' if doc_id % 5 == 3 else "")
+        )
         + "</head><body>"
         f'<nav><a href="/">Home</a> <a href="/archive">Archive</a> '
         f'<a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
         f'<header><h1>The {source} journal</h1>'
         f'<a href="/login">Log in</a></header>'
-        f'<div id="content"><article>{body}</article></div>'
+        f'<div id="content"><article>{body}'
+        f'<p class="refs">Further reading for this article: '
+        f'the <a href="notes/{doc_id}.html">annotated notes</a>, '
+        f'a list of <a href="/rel/{doc_id}">related articles</a>, '
+        f'the <a href="../up/{doc_id}">archive copy</a>, '
+        f'a <a href="//cdn.example.org/r/{doc_id}">mirror</a>, '
+        f'the <a href="#comments">comments</a> below, '
+        f'and <a href="mailto:editor@{source}.example.com">the editor</a>.</p>'
+        f"</article></div>"
         f'<div class="sidebar"><h3>Related</h3>'
         f'<p><a href="/doc/{doc_id + 1}">Next article</a> '
         f'<a href="/doc/{doc_id - 1}">Previous article</a></p>'

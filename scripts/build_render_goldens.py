@@ -98,10 +98,16 @@ def build_rows(sf_dir: str) -> list[dict]:
             main_winner, main_score = None, None
         # main-content link graph + head metadata over the same chrome page
         try:
-            raw_links = extract_main_links(chrome_html)
+            raw_links = extract_main_links(chrome_html, base_url=url)
             links = [
-                {"ordinal": o, "href": h, "anchor": a, "nofollow": nf}
-                for o, h, a, nf in raw_links
+                {
+                    "ordinal": o,
+                    "href": h,
+                    "anchor": a,
+                    "nofollow": nf,
+                    "target_abs": t,
+                }
+                for o, h, a, nf, t in raw_links
             ]
             links_json = json.dumps(raw_links, separators=(",", ":"))
         except Exception:
@@ -210,6 +216,7 @@ def main() -> None:
                                 ("href", pa.string()),
                                 ("anchor", pa.string()),
                                 ("nofollow", pa.int64()),
+                                ("target_abs", pa.string()),
                             ]
                         )
                     ),

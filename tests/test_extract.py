@@ -309,7 +309,12 @@ def test_extract_main_links_drops_chrome_edges():
         b'<p>See <a href="/ref">the reference, here</a>. A second paragraph',
     )
     links = extract_main_links(page)
-    assert links == [(0, "/ref", "the reference, here", 0)]
+    # no base_url given and the page has no <base>: target_abs is None
+    assert links == [(0, "/ref", "the reference, here", 0, None)]
+    links = extract_main_links(page, base_url="https://ex.org/dir/page")
+    assert links == [
+        (0, "/ref", "the reference, here", 0, "https://ex.org/ref")
+    ]
 
 
 def test_extract_main_links_img_alt_and_no_href():
@@ -321,7 +326,7 @@ def test_extract_main_links_img_alt_and_no_href():
         b'<a href="/a"><img alt="alt text"> trailing</a>'
         b"</p></article></body></html>"
     )
-    assert extract_main_links(page) == [(0, "/a", "alt text trailing", 0)]
+    assert extract_main_links(page) == [(0, "/a", "alt text trailing", 0, None)]
 
 
 def test_extract_main_links_nofollow_flag():
@@ -334,8 +339,8 @@ def test_extract_main_links_nofollow_flag():
         b"</p></article></body></html>"
     )
     assert extract_main_links(page) == [
-        (0, "/f", "followed", 0),
-        (1, "/n", "sponsored", 1),
+        (0, "/f", "followed", 0, None),
+        (1, "/n", "sponsored", 1, None),
     ]
 
 
@@ -357,10 +362,10 @@ def test_spark_extract_links_and_metadata_match_engine(spark):
     got_links: dict = {}
     for r in extract_links(pages).collect():
         got_links.setdefault(r["url"], []).append(
-            (r["ordinal"], r["href"], r["anchor"], r["nofollow"])
+            (r["ordinal"], r["href"], r["anchor"], r["nofollow"], r["target_abs"])
         )
     for url, html in inputs.items():
-        want = extract_main_links(html)
+        want = extract_main_links(html, base_url=url)
         assert sorted(got_links.get(url, [])) == sorted(want), url
 
     got_meta = {r["url"]: r for r in page_metadata_pages(pages).collect()}
@@ -400,7 +405,7 @@ def test_spark_extract_full_matches_engine_and_recovers_on_render_error(spark):
     import json
 
     for url, html in inputs.items():
-        want = extract_main_full(html, 80)
+        want = extract_main_full(html, 80, base_url=url)
         row = got[url]
         assert row["text"] == want["text"]
         assert row["links_json"] == json.dumps(
@@ -485,3 +490,75 @@ def test_render_pages_null_html_with_outlier_routing(spark):
         rows = {r["url"]: r for r in render_pages(df, width=80, outlier_bytes=ob).collect()}
         assert rows["u1"]["error"] == "NullInput", f"outlier_bytes={ob}"
         assert rows["u2"]["error"] is None
+
+
+# ---------------------------------------------------------------------------
+# Round 5: RFC-3986 link resolution + <base href>
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_url_rfc3986_normal_examples():
+    """RFC 3986 §5.4.1 normal examples (base http://a/b/c/d;p?q)."""
+    from rust_html2text_spark.engine.extract import resolve_url
+
+    base = "http://a/b/c/d;p?q"
+    cases = {
+        "g": "http://a/b/c/g",
+        "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/",
+        "/g": "http://a/g",
+        "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y",
+        "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s",
+        "g#s": "http://a/b/c/g#s",
+        ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x",
+        "": "http://a/b/c/d;p?q",
+        ".": "http://a/b/c/",
+        "..": "http://a/b/",
+        "../g": "http://a/b/g",
+        "../..": "http://a/",
+        "../../g": "http://a/g",
+    }
+    for ref, want in cases.items():
+        assert resolve_url(base, ref) == want, (ref, resolve_url(base, ref))
+
+
+def test_resolve_url_abnormal_and_edge_cases():
+    from rust_html2text_spark.engine.extract import resolve_url
+
+    base = "http://a/b/c/d;p?q"
+    # RFC 3986 §5.4.2: dotdots past the root collapse to the root
+    assert resolve_url(base, "../../../g") == "http://a/g"
+    # absolute references pass through untouched, whatever the base
+    assert resolve_url(base, "https://x/y") == "https://x/y"
+    assert resolve_url(None, "https://x/y") == "https://x/y"
+    assert resolve_url(base, "mailto:a@b") == "mailto:a@b"
+    assert resolve_url(base, "javascript:void(0)") == "javascript:void(0)"
+    # relative without a usable base: unusable edge, never a literal URL
+    assert resolve_url(None, "/g") is None
+    assert resolve_url("not a url", "/g") is None
+    # surrounding whitespace is stripped before classification
+    assert resolve_url(base, "  g  ") == "http://a/b/c/g"
+
+
+def test_base_href_first_wins_and_relative_base():
+    from rust_html2text_spark.engine.extract import extract_main_links
+
+    page = (
+        b'<html><head><base href="https://b1.example/x/">'
+        b'<base href="https://b2.example/ignored/"></head>'
+        b"<body><article><p>prose with commas, and sentences, enough "
+        b'to win the candidate vote easily here. <a href="g">rel</a>'
+        b"</p></article></body></html>"
+    )
+    links = extract_main_links(page, base_url="https://page.example/d/p")
+    assert links[0][4] == "https://b1.example/x/g"  # WHATWG: first base wins
+    # relative <base> resolves against the page URL first
+    page2 = page.replace(b'https://b1.example/x/', b'/ctx/')
+    links = extract_main_links(page2, base_url="https://page.example/d/p")
+    assert links[0][4] == "https://page.example/ctx/g"
+    # <base> present but no page URL: absolute base still usable
+    links = extract_main_links(page)
+    assert links[0][4] == "https://b1.example/x/g"
