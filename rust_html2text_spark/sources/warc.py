@@ -511,11 +511,99 @@ def iter_wet_file(path: str) -> Iterator[tuple[str, datetime | None, str]]:
 
 def export_wet(rendered, path: str, gzip_members: bool = True) -> int:
     """Export an extraction result DataFrame (url, text, ...) as ONE WET
-    file — the driver-side collector for small/medium exports and tests.
-    At crawl scale, write per-partition instead:
-    `df.foreachPartition` with write_wet_file per partition id (the
-    records are independent; WET files shard freely)."""
+    file — the driver-side collector, TEST-SCOPED ONLY (collects every
+    text row to the driver).  Production exports go through
+    export_wet_partitioned, which never materializes rows on the
+    driver."""
     rows = rendered.select("url", "text").filter("text is not null").collect()
     return write_wet_file(
         path, [(r["url"], None, r["text"]) for r in rows], gzip_members
     )
+
+
+def export_wet_partitioned(
+    rendered, out_dir: str, gzip_members: bool = True
+) -> dict:
+    """Crawl-scale WET export: every partition writes its own WET shard
+    (`part-<pid>.warc.wet[.gz]`, via a temp-file + atomic rename), and
+    the driver sees ONE tiny (shard, rows, bytes) row per partition from
+    which it writes `_wet_manifest.json` — text never crosses to the
+    driver.  WET records are independent, so the file shards freely;
+    any WET consumer (and iter_wet_file) reads each shard standalone.
+    Uses `warc_ts` for WARC-Date when the column is present.  Assumes
+    the executors share a filesystem with the consumer (same contract
+    as the parquet sink)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_ts = "warc_ts" in rendered.columns
+    cols = ("url", "warc_ts", "text") if has_ts else ("url", "text")
+    df = rendered.select(*cols).filter("text is not null")
+
+    shard_schema = StructType(
+        [
+            StructField("shard", StringType()),
+            StructField("rows", LongType()),
+            StructField("bytes", LongType()),
+        ]
+    )
+    suffix = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    def write_shards(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        name = f"part-{pid:05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        # attempt id in the temp name: a speculative/retried attempt must
+        # not interleave writes with the first; the rename decides
+        tmp = os.path.join(out_dir, f".{name}.{ctx.taskAttemptId()}.tmp")
+
+        def records():
+            for batch in batches:
+                urls = batch["url"]
+                texts = batch["text"]
+                tss = batch["warc_ts"] if has_ts else [None] * len(batch)
+                for url, ts, text in zip(urls, tss, texts):
+                    if pd.isna(ts):
+                        ts = None
+                    elif hasattr(ts, "to_pydatetime"):
+                        ts = ts.to_pydatetime()
+                    yield url, ts, text
+
+        n = write_wet_file(tmp, records(), gzip_members)
+        if n == 0:
+            os.remove(tmp)  # empty partition: no shard
+            return
+        os.rename(tmp, final)
+        yield pd.DataFrame(
+            {"shard": [name], "rows": [n], "bytes": [os.path.getsize(final)]}
+        )
+
+    shards = sorted(
+        (r["shard"], r["rows"], r["bytes"])
+        for r in df.mapInPandas(write_shards, shard_schema).collect()
+    )
+    manifest = {
+        "shards": [
+            {"shard": s, "rows": r, "bytes": b} for s, r, b in shards
+        ],
+        "records": sum(r for _, r, _ in shards),
+        "bytes": sum(b for _, _, b in shards),
+        "gzip_members": gzip_members,
+    }
+    tmp = os.path.join(out_dir, "._wet_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    os.rename(tmp, os.path.join(out_dir, "_wet_manifest.json"))
+    return manifest

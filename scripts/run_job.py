@@ -122,9 +122,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--export-wet",
         metavar="PATH",
-        help="after the batch run, also export the extracted text as a "
-        "WET file (WARC conversion records — Common Crawl's extracted-"
-        "text publication format)",
+        help="after the batch run, also export the extracted text as WET "
+        "(WARC conversion records — Common Crawl's extracted-text "
+        "publication format). A directory path gets one shard per "
+        "partition plus _wet_manifest.json (scale-safe, nothing is "
+        "collected to the driver); a path ending in .wet/.gz writes one "
+        "driver-collected file (small exports only)",
     )
     ap.add_argument("--master", default=None)
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
@@ -370,10 +373,19 @@ def main() -> None:
         bytes_col=bytes_col,
     )
     if args.export_wet:
-        from rust_html2text_spark.sources.warc import export_wet
+        from rust_html2text_spark.sources.warc import (
+            export_wet,
+            export_wet_partitioned,
+        )
 
         out_df = spark.read.parquet(os.path.join(args.output, "bucket=*"))
-        summary["wet_records"] = export_wet(out_df, args.export_wet)
+        if args.export_wet.endswith((".wet", ".gz")):
+            # single collected file: small exports / tests only
+            summary["wet_records"] = export_wet(out_df, args.export_wet)
+        else:
+            man = export_wet_partitioned(out_df, args.export_wet)
+            summary["wet_records"] = man["records"]
+            summary["wet_shards"] = len(man["shards"])
         summary["wet_path"] = args.export_wet
     print(summary)
     spark.stop()

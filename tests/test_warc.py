@@ -493,3 +493,75 @@ def test_wet_round_trip_and_export(spark, tmp_path):
     }
     assert n == len(want)
     assert {u: t for u, _ts, t in iter_wet_file(wet_path)} == want
+
+
+def test_wet_partitioned_export_shards_round_trip(spark, tmp_path):
+    """Scale-safe WET export: one shard per non-empty partition written
+    executor-side (atomic rename), a manifest whose counts match, every
+    shard standalone-readable, and the union of shards equal to the
+    driver-collected export.  The driver only ever sees (shard, rows,
+    bytes) tuples."""
+    import json
+    import os
+
+    from rust_html2text_spark.operators.render import render_pages
+    from rust_html2text_spark.sources.corpus import load_pages
+    from rust_html2text_spark.sources.warc import (
+        export_wet_partitioned,
+        iter_wet_file,
+    )
+
+    rendered = render_pages(
+        load_pages(spark, SF_DIR).limit(60), width=80
+    ).repartition(5)
+    out = str(tmp_path / "wet_out")
+    man = export_wet_partitioned(rendered, out)
+
+    want = {
+        r["url"]: r["text"]
+        for r in rendered.collect()
+        if r["text"] is not None
+    }
+    assert man["records"] == len(want)
+    assert 1 < len(man["shards"]) <= 5  # genuinely sharded
+    on_disk = sorted(
+        f for f in os.listdir(out) if f.endswith(".warc.wet.gz")
+    )
+    assert on_disk == [s["shard"] for s in man["shards"]]
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+
+    got = {}
+    for s in man["shards"]:
+        shard_recs = list(iter_wet_file(os.path.join(out, s["shard"])))
+        assert len(shard_recs) == s["rows"]  # each shard standalone
+        assert os.path.getsize(os.path.join(out, s["shard"])) == s["bytes"]
+        for u, ts, t in shard_recs:
+            assert ts is not None  # warc_ts column carried through
+            got[u] = t
+    assert got == want
+
+    # the committed manifest file matches what the function returned
+    with open(os.path.join(out, "_wet_manifest.json")) as fh:
+        assert json.load(fh) == man
+
+
+def test_wet_partitioned_export_without_ts_and_empty_partitions(spark, tmp_path):
+    import os
+
+    from rust_html2text_spark.sources.warc import (
+        export_wet_partitioned,
+        iter_wet_file,
+    )
+
+    df = spark.createDataFrame(
+        [("https://e.x/a", "alpha"), ("https://e.x/b", None)],
+        "url string, text string",
+    ).repartition(8)  # most partitions empty
+    out = str(tmp_path / "wet_small")
+    man = export_wet_partitioned(df, out)
+    assert man["records"] == 1  # null text filtered
+    assert len(man["shards"]) == 1  # empty partitions leave no shard
+    recs = list(
+        iter_wet_file(os.path.join(out, man["shards"][0]["shard"]))
+    )
+    assert [(u, t) for u, _ts, t in recs] == [("https://e.x/a", "alpha")]
