@@ -472,10 +472,28 @@ def q_domain_quality(spark, sf_dir):
 
 
 def q_curation_verdict(spark, sf_dir):
-    """Composite keep/drop verdict with failure reasons (FineWeb-style)."""
+    """Composite keep/drop verdict with failure reasons (FineWeb-style),
+    including the publisher's robots policy: each document's page-level
+    robots token list (extracted by page_metadata over the chrome corpus)
+    joins back onto the text, and noindex pages drop with reason
+    robots_noindex."""
     from rust_html2text_spark.functions.webtext import curation_verdict
+    from rust_html2text_spark.operators.extract import page_metadata_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
 
-    return curation_verdict(_docs(spark, sf_dir)).orderBy("doc_id")
+    docs = _docs(spark, sf_dir)
+    robots = page_metadata_pages(
+        chrome_pages_from_documents(load_documents(spark, sf_dir))
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "robots",
+    )
+    return curation_verdict(
+        docs.join(robots, "doc_id", "left"), robots_col="robots"
+    ).orderBy("doc_id")
 
 
 def q_dup_spans(spark, sf_dir):
@@ -1715,12 +1733,14 @@ def oracle_sql() -> dict[str, str]:
         "curation_verdict": rf"""
             WITH t AS (
                 SELECT doc_id, text,
+                       md5(CAST(doc_id AS VARCHAR) || '|' || source || '|'
+                           || lang || '|' || text) AS doc_key,
                        regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
                        length(regexp_replace(text, '\s', '', 'g')) AS nonspace,
                        {_pred_lang_case_sql()} AS pred_lang
                 FROM documents WHERE text IS NOT NULL
             ), m AS (
-                SELECT doc_id, pred_lang,
+                SELECT doc_id, doc_key, pred_lang,
                        len(toks) AS n_words,
                        nonspace * 1.0 / len(toks) AS mean_word_len,
                        length(regexp_replace(text, '[^#*…]', '', 'g')) * 1.0
@@ -1733,8 +1753,11 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0.0 END AS dup_bigram_frac
                 FROM t
             ), v AS (
-                SELECT doc_id, n_words,
+                SELECT m.doc_id, n_words,
                        concat_ws(',',
+                           CASE WHEN list_contains(
+                               string_split(coalesce(g.meta_robots, ''), ','),
+                               'noindex') THEN 'robots_noindex' END,
                            CASE WHEN n_words < 50 THEN 'too_short' END,
                            CASE WHEN mean_word_len < 3 OR mean_word_len > 10
                                 THEN 'word_len' END,
@@ -1742,7 +1765,7 @@ def oracle_sql() -> dict[str, str]:
                            CASE WHEN dup_bigram_frac >= 0.2 THEN 'repetitive' END,
                            CASE WHEN pred_lang <> 'en' THEN 'lang' END
                        ) AS reasons
-                FROM m
+                FROM m LEFT JOIN {_GOLDENS} g ON g.doc_key = m.doc_key
             )
             SELECT doc_id, (reasons = '') AS keep, reasons,
                    CAST(n_words AS BIGINT) AS n_words

@@ -246,16 +246,21 @@ def curation_verdict(
     docs: DataFrame,
     min_words: int = 50,
     langs: tuple[str, ...] = ("en",),
+    robots_col: str | None = None,
 ) -> DataFrame:
     """FineWeb-style composite curation verdict: one keep/drop decision per
     document with the ordered list of failed rules ("too_short,lang"), so
     a pipeline can both filter and report WHY mass was dropped.
 
-    Rules (fixed order): Gopher length/word-shape/symbol/repetition
-    thresholds, then stopword-vote language.  All whole-stage-codegen
-    expressions over the text column — a pure map, no shuffle; reasons are
-    a comma-joined string (concat_ws skips the NULLs of passed rules),
-    which also keeps the oracle engine-portable where list types are not.
+    Rules (fixed order): robots policy (when `robots_col` names a column
+    holding the page's normalized robots token list — a noindex directive
+    is the publisher opting out of indexing/training corpora, dropped
+    with reason `robots_noindex`), then Gopher length/word-shape/symbol/
+    repetition thresholds, then stopword-vote language.  All whole-stage-
+    codegen expressions over the text column — a pure map, no shuffle;
+    reasons are a comma-joined string (concat_ws skips the NULLs of
+    passed rules), which also keeps the oracle engine-portable where
+    list types are not.
     """
     from rust_html2text_spark.functions.textstats import pred_lang_col
 
@@ -279,6 +284,14 @@ def curation_verdict(
         (dup_bigram_frac >= 0.2, "repetitive"),
         (~pred_lang_col("text").isin(list(langs)), "lang"),
     ]
+    if robots_col is not None:
+        # token-exact match against the normalized comma-joined list
+        # (page_metadata's robots output); NULL robots = no directive
+        noindex = F.coalesce(
+            F.array_contains(F.split(F.col(robots_col), ","), "noindex"),
+            F.lit(False),
+        )
+        checks.insert(0, (noindex, "robots_noindex"))
     reasons = F.concat_ws(
         ",", *[F.when(cond, F.lit(name)) for cond, name in checks]
     )

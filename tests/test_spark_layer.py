@@ -776,6 +776,37 @@ def test_curation_verdict_reasons(spark):
     )
 
 
+def test_curation_verdict_robots_noindex(spark):
+    """A noindex robots directive drops the page with reason
+    robots_noindex, ahead of the quality rules; NULL robots and other
+    tokens (nofollow alone) do not fire; token match is exact (no
+    substring hit on e.g. 'nonoindexy')."""
+    from rust_html2text_spark.functions.webtext import curation_verdict
+
+    sw = "the and of to a in is it that for".split()
+    good = " ".join(w for i in range(30) for w in (sw[i % 10], f"word{i:02d}"))
+    rows = [
+        (1, good, "noindex,nofollow"),
+        (2, good, "nofollow"),
+        (3, good, None),
+        (4, "the and of", "noindex"),  # robots + too_short, in order
+        (5, good, "nonoindexy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, robots string")
+    got = {
+        r.doc_id: r
+        for r in curation_verdict(df, robots_col="robots").collect()
+    }
+    assert got[1].reasons == "robots_noindex" and not got[1].keep
+    assert got[2].keep and got[3].keep and got[5].keep
+    assert got[4].reasons == "robots_noindex,too_short,word_len"
+    # without robots_col the column is ignored entirely
+    got_plain = {
+        r.doc_id: r for r in curation_verdict(df.drop("robots")).collect()
+    }
+    assert got_plain[1].keep
+
+
 def test_bpe_ish_token_count(spark):
     """The BPE-ish regex count splits punctuation/contractions that
     whitespace tokenization lumps together."""
