@@ -76,6 +76,25 @@ def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def q_charset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-UTF-8 crawl reality: pages in UTF-8+BOM / windows-1252 (meta
+    charset) / Shift_JIS (http-equiv) / UTF-16LE+BOM / undeclared-
+    fallback byte shapes, extracted with the WHATWG sniff in front of
+    the parse; (encoding, encoding_source) ride along as lineage.
+    Oracle: the same sniff+decode+extract precomputed single-process
+    (goldens cs_* columns)."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+
+    pages = charset_pages_from_documents(load_documents(spark, sf_dir))
+    return extract_pages(pages, width=WIDTH, charset_sniff=True).select(
+        "url", "text", "error", "encoding", "encoding_source"
+    )
+
+
 def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head metadata (title/description/lang claim/canonical/og:title) —
     the dropped-by-design half of the render path, extracted for dedup
@@ -822,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "render_flagship": q_render_flagship,
         "extract_main": q_extract_main,
+        "charset_extract": q_charset_extract,
         "extract_links": q_extract_links,
         "page_metadata": q_page_metadata,
         "extract_full": q_extract_full,
@@ -845,7 +865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "contamination": q_contamination,
         "pii_scrub": q_pii_scrub,
-        "exact_dup_groups": q_exact_dup_groups,
         "prefix_dup_groups": q_prefix_dup_groups,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -880,8 +899,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       minhash_signatures  → lsh_candidate_pairs (banding over the sigs);
       simhash             → simhash_near_dups (Hamming pairs over the sigs);
       knn_ivf             → knn_ivf_kmeans (same probe path, learned centroids);
-      media_decode        ⊂ media_resize (decode runs twice inside it).
-    All five stay fully verified locally: scripts/check_oracles.py and
+      media_decode        ⊂ media_resize (decode runs twice inside it);
+      exact_dup_groups    — 0 rows at every tested SF (the synthetic
+                            corpus has no byte-exact dups), the weakest
+                            gate signal; prefix_dup_groups covers the
+                            same hash-groupBy shape with live rows.
+    All six stay fully verified locally: scripts/check_oracles.py and
     tests/test_oracles.py run them against the same DuckDB oracles."""
     return {
         "rolling_hash": q_rolling_hash,
@@ -889,6 +912,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_ivf": q_knn_ivf,
         "media_decode": q_media_decode,
+        "exact_dup_groups": q_exact_dup_groups,
     }
 
 
@@ -1112,6 +1136,13 @@ def oracle_sql() -> dict[str, str]:
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "
+            f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ),
+        "charset_extract": (
+            "SELECT 'https://www.' || d.source || '.example.com/cs/' || "
+            "CAST(d.doc_id AS VARCHAR) AS url, g.cs_text AS text, "
+            "g.cs_error AS error, g.cs_encoding AS encoding, "
+            "g.cs_encoding_source AS encoding_source "
             f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
         ),
         "pdf_extract": (

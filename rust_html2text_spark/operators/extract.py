@@ -35,8 +35,23 @@ EXTRACT_SCHEMA = StructType(
     ]
 )
 
+# charset_sniff=True appends encoding lineage (the sniffed codec and how
+# it was determined: bom / meta / default)
+EXTRACT_SNIFF_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields
+    + [
+        StructField("encoding", StringType()),
+        StructField("encoding_source", StringType()),
+    ]
+)
 
-def _extract_batch_fn(width: int, config_kwargs: dict):
+
+def _extract_batch_fn(
+    width: int,
+    config_kwargs: dict,
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
+):
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
         import os
@@ -49,6 +64,7 @@ def _extract_batch_fn(width: int, config_kwargs: dict):
             sys.path.insert(0, _repo)
 
         from rust_html2text_spark.engine.api import Config, plain_config
+        from rust_html2text_spark.engine.charset import decode_html
         from rust_html2text_spark.engine.errors import RenderError
         from rust_html2text_spark.engine.extract import extract_main_ex
 
@@ -66,6 +82,9 @@ def _extract_batch_fn(width: int, config_kwargs: dict):
                 "score": [],
                 "n_candidates": [],
             }
+            if charset_sniff:
+                out["encoding"] = []
+                out["encoding_source"] = []
             for html in batch["html"]:
                 if html is None:
                     out["text"].append(None)
@@ -75,10 +94,18 @@ def _extract_batch_fn(width: int, config_kwargs: dict):
                     out["winner_tag"].append(None)
                     out["score"].append(None)
                     out["n_candidates"].append(0)
+                    if charset_sniff:
+                        out["encoding"].append(None)
+                        out["encoding_source"].append(None)
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
                 out["html_bytes"].append(len(html))
+                if charset_sniff:
+                    decoded, codec, src = decode_html(html, charset_fallback)
+                    out["encoding"].append(codec)
+                    out["encoding_source"].append(src)
+                    html = decoded  # engine parse path accepts str as-is
                 try:
                     r = extract_main_ex(html, width, config)
                     out["text"].append(r["text"])
@@ -398,6 +425,8 @@ def extract_pages(
     salt: int = 0,
     outlier_bytes: int | None = 1 << 20,
     repartition: str = "salted",
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """Extract main content from a pages DataFrame (url, html, ...) →
     (url, text, error, sizes, winner_tag, score, n_candidates).  Same
@@ -405,7 +434,14 @@ def extract_pages(
     hash by default, `repartition="none"` for pre-shuffled input, and an
     oversized-outlier lane so one giant page never stalls a task's worth
     of siblings (the lane's second-scan cost and when to disable it are
-    quantified in render_pages' docstring)."""
+    quantified in render_pages' docstring).
+
+    charset_sniff=True runs the WHATWG encoding sniff (BOM → meta
+    prescan → charset_fallback) in front of the parse and appends
+    (encoding, encoding_source) lineage — the extraction tier targets
+    real crawls where non-UTF-8 pages are a double-digit percentage.
+    Off by default: the render path's utf-8/replace is byte-identical
+    reference parity and stays that way."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
     pages = df.select("url", "html")
@@ -428,9 +464,12 @@ def extract_pages(
     if repartition == "salted":
         normal = normal.repartition(n, key)
 
-    fn = _extract_batch_fn(width, config_kwargs or {})
-    out = normal.mapInPandas(fn, EXTRACT_SCHEMA)
+    fn = _extract_batch_fn(
+        width, config_kwargs or {}, charset_sniff, charset_fallback
+    )
+    schema = EXTRACT_SNIFF_SCHEMA if charset_sniff else EXTRACT_SCHEMA
+    out = normal.mapInPandas(fn, schema)
     if oversized is not None:
         oversized = oversized.repartition(n, key)
-        out = out.unionByName(oversized.mapInPandas(fn, EXTRACT_SCHEMA))
+        out = out.unionByName(oversized.mapInPandas(fn, schema))
     return out

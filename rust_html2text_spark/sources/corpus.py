@@ -270,6 +270,100 @@ def synthesize_chrome_page_py(
     return url, chrome.encode("utf-8")
 
 
+def synthesize_charset_page_py(
+    doc_id: int, text: str, source: str, lang: str = "en"
+) -> tuple[str, bytes]:
+    """Charset-lane variant of the chrome page: the SAME page content,
+    but encoded per `doc_id % 5` in the byte shapes a real crawl is full
+    of — (0) UTF-8 with BOM, (1) windows-1252 declared via <meta
+    charset>, (2) Shift_JIS declared via http-equiv, (3) UTF-16LE with
+    BOM, (4) undeclared ASCII-safe fallback.  Each lane injects a
+    non-ASCII marker paragraph so a wrong decode is visible in the
+    extracted text, not just in the lineage columns.  Unencodable chars
+    degrade to '?' (errors=replace) — deterministic on both the corpus
+    and oracle sides."""
+    _, chrome = synthesize_chrome_page_py(doc_id, text, source, lang)
+    s = chrome.decode("utf-8")
+    url = f"https://www.{source}.example.com/cs/{doc_id}"
+    lane = doc_id % 5
+    if lane == 0:
+        enc, bom, meta = "utf-8", b"\xef\xbb\xbf", ""
+        marker = "BOM lane — naïve café résumé"
+    elif lane == 1:
+        enc, bom = "cp1252", b""
+        meta = '<meta charset="windows-1252">'
+        marker = (
+            "cp1252 lane — “smart quotes” – "
+            "dashes — café"
+        )
+    elif lane == 2:
+        enc, bom = "shift_jis", b""
+        meta = (
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=Shift_JIS">'
+        )
+        marker = "sjis lane 日本語のテキスト"
+    elif lane == 3:
+        enc, bom, meta = "utf-16-le", b"\xff\xfe", ""
+        marker = "utf16 lane — 混合テキスト café"
+    else:
+        enc, bom, meta = "utf-8", b"", ""
+        marker = "plain ascii fallback lane"
+    s = s.replace("</head>", meta + "</head>", 1)
+    s = s.replace(
+        "</article>", f'<p class="cs">{marker}</p></article>', 1
+    )
+    return url, bom + s.encode(enc, errors="replace")
+
+
+def charset_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Charset-lane pages table (url, html).  Python-synthesized via
+    mapInPandas — Spark's encode() supports only the unicode family +
+    ISO-8859-1, and this corpus exists precisely to exercise
+    windows-1252/Shift_JIS byte shapes that codegen cannot produce.
+    Test/oracle corpus only; the hot bench lanes stay codegen."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("html", BinaryType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        from rust_html2text_spark.sources.corpus import (
+            synthesize_charset_page_py as mk,
+        )
+
+        for batch in batches:
+            urls, htmls = [], []
+            for did, text, source, lang in zip(
+                batch["doc_id"], batch["text"], batch["source"], batch["lang"]
+            ):
+                u, h = mk(int(did), text, source, lang)
+                urls.append(u)
+                htmls.append(h)
+            yield pd.DataFrame({"url": urls, "html": htmls})
+
+    return docs.select("doc_id", "text", "source", "lang").mapInPandas(
+        build, schema
+    )
+
+
 def load_pages(
     spark: SparkSession,
     sf_dir: str,

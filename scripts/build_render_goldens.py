@@ -116,6 +116,22 @@ def build_rows(sf_dir: str) -> list[dict]:
             meta = page_metadata(chrome_html)
         except Exception:
             meta = {}
+        # charset lanes: WHATWG sniff + decode in front of the same
+        # extraction (the operator's charset_sniff=True path)
+        from rust_html2text_spark.engine.charset import decode_html
+        from rust_html2text_spark.sources.corpus import (
+            synthesize_charset_page_py,
+        )
+
+        cs_url, cs_raw = synthesize_charset_page_py(doc_id, text, source, lang)
+        cs_codec, cs_src = None, None
+        try:
+            dec, cs_codec, cs_src = decode_html(cs_raw)
+            cs_text, cs_error = extract_main_ex(dec, WIDTH)["text"], None
+        except RenderError as e:
+            cs_text, cs_error = None, type(e).__name__
+        except Exception as e:
+            cs_text, cs_error = None, f"Fail:{type(e).__name__}"
         # PDF lane: deterministic writer + structure/layout extractor
         try:
             pex = extract_pdf_ex(build_pdf(doc_id, text, source))
@@ -149,6 +165,10 @@ def build_rows(sf_dir: str) -> list[dict]:
                 "pdf_title": pdf_title,
                 "pdf_author": pdf_author,
                 "pdf_links": pdf_links,
+                "cs_text": cs_text,
+                "cs_error": cs_error,
+                "cs_encoding": cs_codec,
+                "cs_encoding_source": cs_src,
                 "main_links": links,
                 "main_links_json": links_json,
                 "meta_title": meta.get("title"),
@@ -207,6 +227,10 @@ def main() -> None:
                         )
                     ),
                 ),
+                ("cs_text", pa.string()),
+                ("cs_error", pa.string()),
+                ("cs_encoding", pa.string()),
+                ("cs_encoding_source", pa.string()),
                 (
                     "main_links",
                     pa.list_(

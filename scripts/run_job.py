@@ -108,6 +108,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument(
+        "--charset-sniff",
+        action="store_true",
+        help="(--mode extract) WHATWG encoding sniff (BOM → meta prescan "
+        "→ utf-8) in front of the parse, with (encoding, encoding_source) "
+        "lineage columns; the render mode never sniffs (byte-identity "
+        "reference parity)",
+    )
+    ap.add_argument(
         "--stream",
         action="store_true",
         help="run as a Structured Streaming job (availableNow trigger): "
@@ -328,7 +336,11 @@ def main() -> None:
 
         def operator(part):
             return extract_pages(
-                part, width=args.width, config_kwargs=config_kwargs, salt=args.salt
+                part,
+                width=args.width,
+                config_kwargs=config_kwargs,
+                salt=args.salt,
+                charset_sniff=args.charset_sniff,
             )
 
     elif args.mode == "pdf":

@@ -1,0 +1,142 @@
+"""WHATWG encoding sniff for the extraction tier (engine/charset.py):
+BOM > meta prescan > fallback, label registry, the utf-16-meta quirk,
+and the opt-in operator path with lineage columns."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from rust_html2text_spark.engine.charset import (  # noqa: E402
+    decode_html,
+    sniff_encoding,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_bom_wins_over_meta():
+    data = b'\xef\xbb\xbf<meta charset="shift_jis"><p>x</p>'
+    assert sniff_encoding(data) == ("utf-8", "bom")
+    assert sniff_encoding(b"\xff\xfeX\x00") == ("utf-16-le", "bom")
+    assert sniff_encoding(b"\xfe\xff\x00X") == ("utf-16-be", "bom")
+
+
+def test_meta_charset_variants():
+    cases = {
+        b'<meta charset="windows-1252">': "cp1252",
+        b"<meta charset=windows-1252>": "cp1252",
+        b"<meta CHARSET='Shift_JIS'>": "shift_jis",
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=EUC-JP">': "euc_jp",
+        # WHATWG: latin1/ascii are LABELS FOR windows-1252
+        b'<meta charset="iso-8859-1">': "cp1252",
+        b'<meta charset="ascii">': "cp1252",
+        b'<meta charset="gb2312">': "gbk",
+    }
+    for head, codec in cases.items():
+        got = sniff_encoding(head + b"<p>x</p>")
+        assert got == (codec, "meta"), (head, got)
+
+
+def test_meta_utf16_is_read_as_utf8():
+    # the prescan parsed ASCII-shaped bytes; a utf-16 declaration is a lie
+    assert sniff_encoding(b'<meta charset="utf-16">x') == ("utf-8", "meta")
+    assert sniff_encoding(b'<meta charset="utf-16le">x') == ("utf-8", "meta")
+
+
+def test_meta_outside_1024_window_is_ignored():
+    data = b"<!doctype html>" + b" " * 1200 + b'<meta charset="shift_jis">'
+    assert sniff_encoding(data) == ("utf-8", "default")
+
+
+def test_commented_meta_is_ignored():
+    data = b'<!-- <meta charset="shift_jis"> --><p>x</p>'
+    assert sniff_encoding(data) == ("utf-8", "default")
+
+
+def test_unknown_label_falls_through():
+    assert sniff_encoding(b'<meta charset="klingon-8">x') == (
+        "utf-8",
+        "default",
+    )
+
+
+def test_decode_html_strips_bom_and_replaces():
+    text, codec, src = decode_html(b"\xef\xbb\xbfhello")
+    assert (text, codec, src) == ("hello", "utf-8", "bom")
+    # cp1252 smart quotes via meta
+    raw = b'<meta charset="windows-1252"><p>\x93q\x94</p>'
+    text, codec, _ = decode_html(raw)
+    assert codec == "cp1252" and "“q”" in text
+    # invalid utf-8 under the default lane degrades, never raises
+    text, codec, src = decode_html(b"<p>\xff\xfe\xfa</p>x")
+    assert "�" in text and src == "bom" or codec  # no exception is the pin
+
+
+def test_render_path_unaffected():
+    """The byte-identity render path must NOT sniff: a meta-declared
+    cp1252 page still renders via utf-8/replace (reference parity,
+    src/lib.rs:3011-3023)."""
+    from rust_html2text_spark.engine.api import html_to_text
+
+    raw = (
+        b'<html><head><meta charset="windows-1252"></head>'
+        b"<body><p>caf\xe9</p></body></html>"
+    )
+    out = html_to_text(raw, 80)
+    assert "caf�" in out  # utf-8/replace mojibake, by contract
+
+
+def test_spark_charset_extract_matches_engine(spark):
+    from rust_html2text_spark.engine.extract import extract_main_ex
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+
+    pages = charset_pages_from_documents(
+        load_documents(spark, SF_DIR)
+    ).limit(50)
+    inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    got = {
+        r["url"]: r
+        for r in extract_pages(pages, width=80, charset_sniff=True).collect()
+    }
+    assert set(got) == set(inputs)
+    seen_codecs = set()
+    for url, raw in inputs.items():
+        dec, codec, src = decode_html(raw)
+        want = extract_main_ex(dec, 80)
+        row = got[url]
+        assert row["text"] == want["text"], url
+        assert row["encoding"] == codec and row["encoding_source"] == src
+        seen_codecs.add(codec)
+    # all the non-trivial lanes actually occurred in the sample
+    assert {"cp1252", "shift_jis", "utf-16-le"} <= seen_codecs
+
+
+def test_spark_extract_default_has_no_encoding_columns(spark):
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        chrome_pages_from_documents,
+        load_documents,
+    )
+
+    df = extract_pages(
+        chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(5)
+    )
+    assert "encoding" not in df.columns  # sniff is opt-in
