@@ -577,9 +577,60 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._decryptor = None
+        self._enc_obj_num: int | None = None
+        self._used_brute = False
         self._parse_structure()
         if "Encrypt" in self.trailer:
-            raise PdfError("encrypted document")
+            self._init_decryptor()
+
+    def _init_decryptor(self) -> None:
+        """Standard security handler, EMPTY user password only (ISO
+        32000-1 §7.6.3) — the common crawled case where encryption only
+        enforces owner permissions.  Real passwords and /R 5-6 still
+        raise (detect-and-skip, as before this existed)."""
+        if self._used_brute:
+            # objects were already eagerly parsed without decryption
+            raise PdfError("encrypted document (damaged xref)")
+        from .pdfcrypt import StandardSecurityHandler
+
+        enc_ref = self.trailer.get("Encrypt")
+        if isinstance(enc_ref, Ref):
+            self._enc_obj_num = enc_ref.num
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("encrypted document (bad /Encrypt)")
+        ids = self.trailer.get("ID")
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            id0 = ids[0]
+        self._decryptor = StandardSecurityHandler(enc, id0, self.resolve)
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Decrypt strings and stream payloads of a freshly-loaded
+        top-level object.  Never applied to the /Encrypt dict itself,
+        to XRef streams, or to objects inside an ObjStm (the container
+        stream was the encrypted unit)."""
+        dec = self._decryptor
+
+        def walk(o):
+            if isinstance(o, bytes):
+                return dec.decrypt(o, num, gen)
+            if isinstance(o, list):
+                return [walk(x) for x in o]
+            if isinstance(o, Stream):
+                o.dict = walk(o.dict)
+                if str(o.dict.get("Type")) != "XRef":
+                    o.raw = dec.decrypt(o.raw, num, gen)
+                return o
+            if isinstance(o, dict):
+                return {k: walk(v) for k, v in o.items()}
+            return o
+
+        try:
+            return walk(obj)
+        except PdfError:
+            return obj  # undecryptable object: keep raw, fail downstream
 
     # -- structure ----------------------------------------------------
 
@@ -721,6 +772,7 @@ class PdfDocument:
     def _brute_scan(self) -> None:
         """Rebuild the object table by scanning for `N G obj` markers.
         Later definitions win (incremental updates append)."""
+        self._used_brute = True
         for m in _OBJ_RE.finditer(self.data):
             num, gen = int(m.group(1)), int(m.group(2))
             self.xref[num] = ("n", m.start(), gen)
@@ -851,6 +903,8 @@ class PdfDocument:
         try:
             if entry[0] == "n":
                 obj = self._parse_indirect_at(entry[1])
+                if self._decryptor is not None and num != self._enc_obj_num:
+                    obj = self._decrypt_object(obj, num, entry[2])
             else:  # compressed — the ObjStm table is keyed by object number
                 obj = self._load_objstm(entry[1]).get(num)
             self._cache[num] = obj
@@ -943,6 +997,13 @@ class PdfDocument:
 def parse_pdf(data: bytes) -> PdfDocument:
     if not isinstance(data, (bytes, bytearray)):
         raise PdfError("input is not bytes")
-    if b"%PDF-" not in data[:1024]:
+    start = data[:1024].find(b"%PDF-")
+    if start == -1:
         raise PdfError("missing %PDF header")
+    if start > 0:
+        # leading junk (HTTP noise, mislabeled framing): xref offsets are
+        # relative to the %PDF header, so slicing restores them — better
+        # than falling back to the brute scan, which cannot serve
+        # encrypted documents (their objects need the real xref)
+        data = data[start:]
     return PdfDocument(bytes(data))

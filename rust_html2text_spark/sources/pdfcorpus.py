@@ -129,8 +129,70 @@ def _ref(n: int) -> bytes:
     return f"{n} 0 R".encode()
 
 
-def build_pdf(doc_id: int, text: str, source: str) -> bytes:
-    """One deterministic PDF for a corpus document."""
+def _hexstr(raw: bytes) -> bytes:
+    return b"<" + raw.hex().upper().encode("ascii") + b">"
+
+
+def _unesc_literal(inner: bytes) -> bytes:
+    """Inverse of _esc for the escapes it produces (\\\\, \\(, \\))."""
+    out = bytearray()
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if c == 0x5C and i + 1 < len(inner):
+            out.append(inner[i + 1])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _crypt_obj(obj, crypt, num: int):
+    """Encrypt every string fragment of a serialized-value tree with the
+    object's key; refs/names/numbers pass through.  Encrypted strings
+    re-serialize as hex strings (arbitrary bytes, no escaping needed)."""
+    if isinstance(obj, bytes):
+        if obj.startswith(b"(") and obj.endswith(b")"):
+            return _hexstr(crypt.encrypt(_unesc_literal(obj[1:-1]), num))
+        if (
+            obj.startswith(b"<")
+            and obj.endswith(b">")
+            and not obj.startswith(b"<<")
+        ):
+            return _hexstr(
+                crypt.encrypt(bytes.fromhex(obj[1:-1].decode("ascii")), num)
+            )
+        return obj
+    if isinstance(obj, list):
+        return [_crypt_obj(x, crypt, num) for x in obj]
+    if isinstance(obj, dict):
+        return {k: _crypt_obj(v, crypt, num) for k, v in obj.items()}
+    return obj
+
+
+def _ser_encrypt_dict(crypt) -> bytes:
+    """Serialize the /Encrypt dictionary — its own /O /U strings are
+    NEVER encrypted (they bootstrap the key)."""
+    d = dict(crypt.encrypt_dict())
+    d["O"] = _hexstr(d["O"])
+    d["U"] = _hexstr(d["U"])
+    return _ser(d)
+
+
+def build_pdf(
+    doc_id: int,
+    text: str,
+    source: str,
+    user_pw: bytes = b"",
+) -> bytes:
+    """One deterministic PDF for a corpus document.
+
+    Encrypted lanes (standard security handler, empty user password —
+    the crawled-PDF shape every viewer opens): doc_id % 9 == 4 →
+    RC4-128 /R 3, doc_id % 18 == 7 → AES-128 /R 4 /AESV2, doc_id % 18
+    == 16 → RC4-40 /R 2.  `user_pw` forces a real password (tests use
+    it to pin that wrong-password documents still error)."""
     url = f"https://www.{source}.example.com/pdf/{doc_id}"
     body_lines = _wrap(text, WRAP_CHARS)
     page_chunks = [
@@ -251,24 +313,52 @@ def build_pdf(doc_id: int, text: str, source: str) -> bytes:
             "Annots": annots,
         }
 
+    crypt = None
+    if user_pw or doc_id % 9 == 4 or doc_id % 18 in (7, 16):
+        import hashlib
+
+        from rust_html2text_spark.engine.pdfcrypt import WriterCrypt
+
+        id0 = hashlib.md5(f"id|{doc_id}|{source}".encode()).digest()
+        if doc_id % 18 == 7 and not user_pw:
+            crypt = WriterCrypt(id0, user_pw=user_pw, r=4, cfm="AESV2")
+        elif doc_id % 18 == 16 and not user_pw:
+            crypt = WriterCrypt(id0, user_pw=user_pw, r=2, length_bits=40)
+        else:
+            crypt = WriterCrypt(id0, user_pw=user_pw, r=3, length_bits=128)
+
     if xref_stream:
-        return _emit_xref_stream(objects, streams)
-    return _emit_classic(objects, streams)
+        return _emit_xref_stream(objects, streams, crypt)
+    return _emit_classic(objects, streams, crypt)
 
 
-def _emit_classic(objects: dict[int, object], streams: dict[int, tuple[dict, bytes]]) -> bytes:
+def _emit_classic(
+    objects: dict[int, object],
+    streams: dict[int, tuple[dict, bytes]],
+    crypt=None,
+) -> bytes:
     buf = bytearray(b"%PDF-1.7\n%\xc2\xa5\xc2\xb1\n")
     offsets: dict[int, int] = {}
+    enc_num = max(set(objects) | set(streams)) + 1 if crypt else None
     for num in sorted(set(objects) | set(streams)):
         offsets[num] = len(buf)
         buf += f"{num} 0 obj\n".encode()
         if num in streams:
             d, raw = streams[num]
             d = dict(d)
+            if crypt:
+                raw = crypt.encrypt(raw, num)
             d["Length"] = len(raw)
             buf += _ser(d) + b"\nstream\n" + raw + b"\nendstream"
         else:
-            buf += _ser(objects[num])
+            obj = objects[num]
+            if crypt:
+                obj = _crypt_obj(obj, crypt, num)
+            buf += _ser(obj)
+        buf += b"\nendobj\n"
+    if crypt:
+        offsets[enc_num] = len(buf)
+        buf += f"{enc_num} 0 obj\n".encode() + _ser_encrypt_dict(crypt)
         buf += b"\nendobj\n"
     size = max(offsets) + 1
     xref_pos = len(buf)
@@ -277,16 +367,28 @@ def _emit_classic(objects: dict[int, object], streams: dict[int, tuple[dict, byt
     for num in range(1, size):
         buf += f"{offsets[num]:010d} 00000 n \n".encode()
     trailer = {"Size": size, "Root": _ref(1), "Info": _ref(7)}
+    if crypt:
+        trailer["Encrypt"] = _ref(enc_num)
+        trailer["ID"] = [_hexstr(crypt.id0), _hexstr(crypt.id0)]
     buf += b"trailer\n" + _ser(trailer) + b"\n"
     buf += f"startxref\n{xref_pos}\n".encode() + b"%%EOF\n"
     return bytes(buf)
 
 
-def _emit_xref_stream(objects: dict[int, object], streams: dict[int, tuple[dict, bytes]]) -> bytes:
+def _emit_xref_stream(
+    objects: dict[int, object],
+    streams: dict[int, tuple[dict, bytes]],
+    crypt=None,
+) -> bytes:
     """PDF 1.5+ flavour: non-stream objects packed into an /ObjStm,
-    cross-reference as a FlateDecode'd xref stream."""
+    cross-reference as a FlateDecode'd xref stream.  When encrypting:
+    the ObjStm STREAM is the encrypted unit (strings inside it are not
+    individually encrypted, §7.6.2), the /Encrypt dictionary lives
+    outside any object stream, and the XRef stream is never encrypted."""
     buf = bytearray(b"%PDF-1.7\n%\xc2\xa5\xc2\xb1\n")
-    size = max(set(objects) | set(streams)) + 3  # + ObjStm + XRef
+    extra = 4 if crypt else 3
+    size = max(set(objects) | set(streams)) + extra
+    enc_num = size - 3 if crypt else None
     objstm_num = size - 2
     xref_num = size - 1
 
@@ -308,15 +410,23 @@ def _emit_xref_stream(objects: dict[int, object], streams: dict[int, tuple[dict,
         "Filter": "FlateDecode",
     }
     objstm_raw = zlib.compress(objstm_payload)
+    if crypt:
+        objstm_raw = crypt.encrypt(objstm_raw, objstm_num)
 
     offsets: dict[int, int] = {}
     for num in sorted(streams):
         offsets[num] = len(buf)
         d, raw = streams[num]
         d = dict(d)
+        if crypt:
+            raw = crypt.encrypt(raw, num)
         d["Length"] = len(raw)
         buf += f"{num} 0 obj\n".encode() + _ser(d)
         buf += b"\nstream\n" + raw + b"\nendstream\nendobj\n"
+    if crypt:
+        offsets[enc_num] = len(buf)
+        buf += f"{enc_num} 0 obj\n".encode() + _ser_encrypt_dict(crypt)
+        buf += b"\nendobj\n"
     offsets[objstm_num] = len(buf)
     od = dict(objstm_dict)
     od["Length"] = len(objstm_raw)
@@ -347,6 +457,9 @@ def _emit_xref_stream(objects: dict[int, object], streams: dict[int, tuple[dict,
         "Filter": "FlateDecode",
         "Length": len(xref_raw),
     }
+    if crypt:
+        xref_dict["Encrypt"] = _ref(enc_num)
+        xref_dict["ID"] = [_hexstr(crypt.id0), _hexstr(crypt.id0)]
     buf += f"{xref_num} 0 obj\n".encode() + _ser(xref_dict)
     buf += b"\nstream\n" + xref_raw + b"\nendstream\nendobj\n"
     buf += f"startxref\n{xref_pos}\n".encode() + b"%%EOF\n"

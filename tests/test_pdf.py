@@ -1035,3 +1035,111 @@ def test_pdf_links_total_cap(monkeypatch):
     pages = [{"Annots": [annot] * 10} for _ in range(10)]
     links = pdf_links_from_doc(FakeDoc(), pages)
     assert 25 <= len(links) < 100  # stops at the first page boundary past cap
+
+
+# ---------------------------------------------------------------------------
+# Round-5: standard security handler (empty-user-password decryption)
+# ---------------------------------------------------------------------------
+
+
+def test_encrypted_lanes_decrypt_to_identical_text():
+    """RC4-40/R2, RC4-128/R3 and AES-128/R4 empty-user-password documents
+    must extract byte-identically to what the same content yields
+    unencrypted (strings AND streams, classic and xref-stream emitters)."""
+    body = "crypto lane body, with commas, and enough words to wrap. " * 20
+    # doc_ids chosen per lane; parity flips the emitter (odd = xref stream)
+    lanes = {
+        4: "rc4-128-classic",
+        13: "rc4-128-xref",
+        7: "aes-xref",
+        16: "rc4-40-classic",
+        25: "aes-xref2",
+        34: "rc4-40-classic2",
+    }
+    for did, label in lanes.items():
+        enc_pdf = build_pdf(did, body, "srcE")
+        assert b"/Encrypt" in enc_pdf, label
+        got = extract_pdf_ex(enc_pdf)
+        assert "crypto lane body" in got["text"], label
+        assert got["title"] == f"Doc {did}: srcE corpus", label
+        assert got["author"] == "The srcE journal", label
+        assert got["n_pages"] >= 1
+        # link annotations (encrypted strings in annot dicts) decrypt too
+        doc = parse_pdf(enc_pdf)
+        from rust_html2text_spark.engine.pdftext import pdf_links_from_doc
+
+        links = pdf_links_from_doc(doc, doc.pages())
+        assert any(u.endswith(f"/pdf/{did}") for _, _, u in links), label
+
+
+def test_encrypted_text_matches_unencrypted_build():
+    """Decryption is lossless: an encrypted doc's extraction equals a
+    plain doc's for the same body, modulo the doc-id-bearing chrome
+    lines (doc 13 = RC4-128 xref-stream lane, doc 31 = plain with the
+    same emitter parity)."""
+    body = "byte identity under encryption, with commas. " * 25
+    t_enc = extract_pdf_ex(build_pdf(13, body, "srcI"))["text"]
+    t_plain = extract_pdf_ex(build_pdf(31, body, "srcI"))["text"]
+
+    def body_lines(t, did):
+        return [ln for ln in t.splitlines() if str(did) not in ln and ln.strip()]
+
+    assert body_lines(t_enc, 13) == body_lines(t_plain, 31)
+
+
+def test_wrong_password_still_errors():
+    pdf = build_pdf(3, "secret content here", "srcW", user_pw=b"hunter2")
+    with pytest.raises(PdfError, match="password required"):
+        parse_pdf(pdf)
+    # and through the robust extractor wrapper it is an error, not a crash
+    with pytest.raises(PdfError):
+        extract_pdf_ex(pdf)
+
+
+def test_tampered_u_entry_is_password_required():
+    pdf = build_pdf(4, "tamper check body", "srcT")
+    doc = parse_pdf(pdf)  # sanity: valid as built
+    assert "tamper" in extract_pdf_ex(pdf)["text"]
+    # flip bytes inside the /U hex string
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9A-F]+)>", pdf)
+    assert m
+    u = bytearray.fromhex(m.group(1).decode())
+    u[0] ^= 0xFF
+    tampered = pdf[: m.start(1)] + u.hex().upper().encode() + pdf[m.end(1) :]
+    with pytest.raises(PdfError, match="password required"):
+        parse_pdf(tampered)
+
+
+def test_unsupported_revision_errors():
+    pdf = build_pdf(4, "r6 check", "srcR")
+    broken = pdf.replace(b"/R 3", b"/R 6").replace(b"/V 2", b"/V 5")
+    with pytest.raises(PdfError, match="unsupported"):
+        parse_pdf(broken)
+
+
+def test_encrypted_with_broken_xref_rejected_not_garbled():
+    """Brute-scan recovery parses objects without decryption context, so
+    an encrypted document with a destroyed xref must error cleanly."""
+    pdf = build_pdf(4, "broken xref body", "srcB")
+    broken = pdf.replace(b"startxref", b"startxrf_")
+    with pytest.raises(PdfError, match="encrypted"):
+        parse_pdf(broken)
+
+
+def test_spark_pdf_operator_handles_encrypted_lanes(spark):
+    """The Spark operator extracts the encrypted lanes like any other row
+    (no error rows, text present) — oracle-parity comes from the goldens."""
+    from rust_html2text_spark.operators.pdf import extract_pdf_pages
+    from rust_html2text_spark.sources.corpus import load_documents
+    from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
+
+    docs = load_documents(spark, SF_DIR).filter(
+        "doc_id % 9 = 4 or doc_id % 18 in (7, 16)"
+    ).limit(12)
+    out = extract_pdf_pages(pdf_pages_from_documents(docs)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["error"] is None, (r["url"], r["error"])
+        assert r["text"]
