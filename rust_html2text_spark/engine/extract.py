@@ -47,9 +47,10 @@ _POSITIVE_RE = re.compile(
     re.IGNORECASE,
 )
 _NEGATIVE_RE = re.compile(
-    r"banner|breadcrumb|combx|comment|community|cookie|disqus|extra|foot|"
-    r"masthead|menu|modal|nav|popup|promo|related|remark|rss|share|shoutbox|"
-    r"sidebar|skyscraper|social|sponsor|widget|advert|\bad\b|ad-",
+    r"banner|boilerplate|breadcrumb|combx|comment|community|cookie|disqus|"
+    r"extra|foot|masthead|menu|modal|nav|popup|promo|related|remark|rss|"
+    r"share|shoutbox|sidebar|skyscraper|social|sponsor|widget|advert|"
+    r"\bad\b|ad-",
     re.IGNORECASE,
 )
 _STRUCTURAL = frozenset("html body article main".split())
@@ -125,14 +126,19 @@ def _is_text_block(node: DomNode) -> bool:
     if node.kind != "element":
         return False
     name = (node.name or "").lower()
-    if name in _TEXT_BLOCKS:
-        return True
-    if name == "div":
+    if name in ("div", "td", "th", "li", "blockquote"):
+        # container-capable blocks behave like a paragraph only when they
+        # hold no block children — otherwise their children vote and this
+        # node is credited as the parent; letting it ALSO vote would
+        # double-count the same commas/prose one level up (a <td> full of
+        # <p>s pushing its <tr> past the <td> itself is exactly how a
+        # legacy table layout's whole row — nav and ad cells included —
+        # used to beat the content cell)
         return not any(
             c.kind == "element" and (c.name or "").lower() in _DIV_BLOCKERS
             for c in node.children
         )
-    return False
+    return name in _TEXT_BLOCKS
 
 
 def score_candidates(dom: DomNode) -> list[tuple[float, int, DomNode]]:
@@ -195,13 +201,56 @@ def _find_body(dom: DomNode) -> DomNode:
     return dom
 
 
+def _ancestor_chain(node: DomNode) -> list[DomNode]:
+    out = []
+    n = node
+    while n is not None:
+        out.append(n)
+        n = getattr(n, "parent", None)
+    return out
+
+
+def _merge_split_candidates(scored) -> DomNode:
+    """Multi-block main content (forum threads, Q&A posts, transcripts
+    split across containers): when the runner-up scores at least half of
+    the winner and is DISJOINT from it, the real main content is their
+    common container.  Promote to the lowest common ancestor, unless
+    that would swallow the whole page (body/html) — the guard that keeps
+    a strong-but-unrelated block (a long comment, a paywall pitch) from
+    dragging the winner up to <body>."""
+    score, _, winner = scored[0]
+    if len(scored) < 2:
+        return winner
+    s2, _, n2 = scored[1]
+    if s2 < 0.5 * score:
+        return winner
+    chain1 = _ancestor_chain(winner)
+    ids1 = {id(a): i for i, a in enumerate(chain1)}
+    if id(n2) in ids1 or id(winner) in {id(a) for a in _ancestor_chain(n2)}:
+        return winner  # nested candidates describe the same content
+    for a in _ancestor_chain(n2):
+        if id(a) in ids1:
+            lca = a
+            break
+    else:
+        return winner
+    if lca.kind != "element" or (lca.name or "").lower() in (
+        "body",
+        "html",
+        "",
+    ):
+        return winner
+    return lca
+
+
 def extract_main_node(dom: DomNode) -> tuple[DomNode, dict]:
     """Strip + score an already-parsed DOM; returns (winner, debug info).
     Falls back to <body> when nothing scores (e.g. an all-table page)."""
     strip_boilerplate(dom)
     scored = score_candidates(dom)
     if scored:
-        score, _, winner = scored[0]
+        score, _, _top = scored[0]
+        winner = _merge_split_candidates(scored)
         info = {
             "winner_tag": (winner.name or "").lower(),
             "score": round(score, 3),
@@ -219,8 +268,27 @@ def extract_main_node(dom: DomNode) -> tuple[DomNode, dict]:
 
 def _wrap_as_document(winner: DomNode) -> DomNode:
     """Re-root the winner subtree as a minimal document so the normal
-    dom→render-tree lowering applies unchanged."""
+    dom→render-tree lowering applies unchanged.
+
+    Legacy table layouts make a lone <td> (or <tr>/<tbody>) the winner —
+    detached from its <table>, it would lower to a floating TableCell/
+    TableRow render node, which the renderer rejects.  A cell that IS
+    the whole document is just a block, so it re-tags as <div>; a
+    floating row/row-group gets a minimal <table> scaffold back."""
     name = (winner.name or "").lower() if winner.kind == "element" else ""
+    if name in ("td", "th"):
+        winner.name = "div"
+    elif name in ("tr", "thead", "tbody", "tfoot"):
+        if name == "tr":
+            # the lowering (lib.rs:1193-1216 parity) expects rows inside
+            # a row group — the HTML tree builder always inserts tbody,
+            # so the scaffold must too
+            tbody = DomNode("element", "tbody")
+            tbody.append(winner)
+            winner = tbody
+        table = DomNode("element", "table")
+        table.append(winner)
+        winner = table
     doc = DomNode("document")
     if name == "html":
         doc.append(winner)
