@@ -394,17 +394,26 @@ def _object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return h.digest()[: min(len(file_key) + 5, 16)]
 
 
+def _enc_int(v, what: str) -> int:
+    """Hostile /Encrypt values (a Name where a number belongs) must be
+    PdfError — the operator contract is error row, never task failure."""
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise PdfError(f"encrypted document (non-numeric /{what})")
+    return int(v)
+
+
 class StandardSecurityHandler:
     """Reader side: verify the EMPTY user password and decrypt strings /
     streams.  Raises PdfError for unsupported revisions, non-Standard
-    filters, or a real (non-empty) password."""
+    filters, hostile dictionary shapes, or a real (non-empty)
+    password."""
 
     def __init__(self, enc: dict, id0: bytes, resolve=lambda x: x) -> None:
         filt = str(resolve(enc.get("Filter", "")))
         if filt != "Standard":
             raise PdfError(f"encrypted document (unsupported filter {filt})")
-        v = int(resolve(enc.get("V", 0)) or 0)
-        r = int(resolve(enc.get("R", 0)) or 0)
+        v = _enc_int(resolve(enc.get("V", 0)), "V")
+        r = _enc_int(resolve(enc.get("R", 0)), "R")
         if r not in (2, 3, 4) or v not in (1, 2, 4):
             raise PdfError(
                 f"encrypted document (unsupported /R {r} /V {v})"
@@ -413,8 +422,8 @@ class StandardSecurityHandler:
         u = resolve(enc.get("U"))
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise PdfError("encrypted document (missing /O or /U)")
-        p = int(resolve(enc.get("P", -1)))
-        length_bits = int(resolve(enc.get("Length", 40)) or 40)
+        p = _enc_int(resolve(enc.get("P", -1)), "P")
+        length_bits = _enc_int(resolve(enc.get("Length", 40)), "Length")
         key_len = 5 if r == 2 else max(5, min(16, length_bits // 8))
         self.aes = False
         encrypt_metadata = resolve(enc.get("EncryptMetadata", True))
@@ -422,6 +431,14 @@ class StandardSecurityHandler:
             cf = resolve(enc.get("CF")) or {}
             stmf = str(resolve(enc.get("StmF", "Identity")))
             cfd = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
+            if cfd is not None and not isinstance(cfd, dict):
+                raise PdfError("encrypted document (bad crypt filter)")
+            if cfd is None and stmf != "Identity":
+                # a named stream filter that /CF cannot resolve: treating
+                # it as Identity would emit ciphertext as text
+                raise PdfError(
+                    f"encrypted document (undefined crypt filter {stmf})"
+                )
             cfm = str(resolve((cfd or {}).get("CFM", "Identity")))
             if cfm == "AESV2":
                 self.aes = True

@@ -1143,3 +1143,60 @@ def test_spark_pdf_operator_handles_encrypted_lanes(spark):
     for r in out:
         assert r["error"] is None, (r["url"], r["error"])
         assert r["text"]
+
+
+def test_hostile_encrypt_dict_shapes_stay_pdferror():
+    """Hostile /Encrypt values (Name where a number belongs, non-dict
+    /CF, bool /V, undefined named filter) must raise PdfError, never
+    TypeError/ValueError — the operator contract maps PdfError to an
+    error row."""
+    from rust_html2text_spark.engine.pdfcrypt import StandardSecurityHandler
+
+    base = {
+        "Filter": Name("Standard"),
+        "V": 2,
+        "R": 3,
+        "O": b"x" * 32,
+        "U": b"y" * 32,
+        "P": -1,
+    }
+    hostile = [
+        {**base, "V": Name("x")},
+        {**base, "R": [1, 2]},
+        {**base, "O": 5},
+        {**base, "P": Name("p")},
+        {**base, "Length": Name("L")},
+        {**base, "V": True},
+        {**base, "V": 4, "R": 4, "CF": 7, "StmF": Name("StdCF")},
+        {**base, "V": 4, "R": 4, "CF": {"StdCF": 9}, "StmF": Name("StdCF")},
+        {**base, "V": 4, "R": 4, "CF": {}, "StmF": Name("NoSuch")},
+    ]
+    for enc in hostile:
+        with pytest.raises(PdfError):
+            StandardSecurityHandler(enc, b"id")
+
+
+def test_encrypted_pdf_mutation_fuzz():
+    """Byte-mutate encrypted PDFs: every outcome is either a successful
+    parse or PdfError — no other exception escapes, and no outcome
+    changes between two runs (determinism)."""
+    import random
+
+    body = "mutation fuzz body with enough words to wrap a few lines. " * 8
+    rng = random.Random(20260817)
+    corpus = [build_pdf(did, body, "srcF") for did in (4, 7, 13, 16, 25)]
+    for trial in range(300):
+        pdf = bytearray(corpus[trial % len(corpus)])
+        for _ in range(rng.randint(1, 8)):
+            pos = rng.randrange(len(pdf))
+            pdf[pos] = rng.randrange(256)
+        data = bytes(pdf)
+
+        def run():
+            try:
+                return ("ok", extract_pdf_ex(data)["text"])
+            except PdfError as e:
+                return ("err", str(e))
+
+        a = run()
+        assert a == run(), f"nondeterministic at trial {trial}"
