@@ -161,7 +161,11 @@ META_SCHEMA = StructType(
 )
 
 
-def _links_batch_fn(config_kwargs: dict):
+def _links_batch_fn(
+    config_kwargs: dict,
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
+):
     def links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
         import sys
@@ -173,6 +177,7 @@ def _links_batch_fn(config_kwargs: dict):
             sys.path.insert(0, _repo)
 
         from rust_html2text_spark.engine.api import Config, plain_config
+        from rust_html2text_spark.engine.charset import decode_html
         from rust_html2text_spark.engine.extract import extract_main_links
 
         config = Config(**config_kwargs) if config_kwargs else plain_config()
@@ -190,6 +195,8 @@ def _links_batch_fn(config_kwargs: dict):
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
+                if charset_sniff:
+                    html = decode_html(html, charset_fallback)[0]
                 try:
                     links = extract_main_links(html, config, base_url=url)
                 except Exception:
@@ -212,6 +219,8 @@ def extract_links(
     num_partitions: int | None = None,
     salt: int = 0,
     repartition: str = "salted",
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """Crawl-graph edges of the MAIN content: (url, ordinal, href, anchor)
     — chrome/nav/footer links are dropped by the same strip+score pass as
@@ -225,10 +234,13 @@ def extract_links(
     if repartition == "salted":
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(_links_batch_fn(config_kwargs or {}), LINKS_SCHEMA)
+    return pages.mapInPandas(
+        _links_batch_fn(config_kwargs or {}, charset_sniff, charset_fallback),
+        LINKS_SCHEMA,
+    )
 
 
-def _meta_batch_fn(xml_mode):
+def _meta_batch_fn(xml_mode, charset_sniff: bool = False, charset_fallback: str = "utf-8"):
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
         import sys
@@ -239,6 +251,7 @@ def _meta_batch_fn(xml_mode):
         if _repo not in sys.path:
             sys.path.insert(0, _repo)
 
+        from rust_html2text_spark.engine.charset import decode_html
         from rust_html2text_spark.engine.metadata import page_metadata
 
         for batch in batches:
@@ -260,6 +273,8 @@ def _meta_batch_fn(xml_mode):
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
+                if charset_sniff:
+                    html = decode_html(html, charset_fallback)[0]
                 try:
                     m = page_metadata(html, xml_mode=xml_mode)
                     out["title"].append(m["title"])
@@ -284,6 +299,8 @@ def page_metadata_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     repartition: str = "salted",
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """Head-metadata extraction: (url, title, description, lang_attr,
     canonical, og_title, error).  The canonical url is the dedup key a
@@ -295,7 +312,9 @@ def page_metadata_pages(
     if repartition == "salted":
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(_meta_batch_fn(xml_mode), META_SCHEMA)
+    return pages.mapInPandas(
+        _meta_batch_fn(xml_mode, charset_sniff, charset_fallback), META_SCHEMA
+    )
 
 
 FULL_SCHEMA = StructType(
@@ -318,10 +337,23 @@ FULL_SCHEMA = StructType(
     ]
 )
 
+FULL_SNIFF_SCHEMA = StructType(
+    FULL_SCHEMA.fields
+    + [
+        StructField("encoding", StringType()),
+        StructField("encoding_source", StringType()),
+    ]
+)
+
 _META_KEYS = ("title", "description", "lang_attr", "canonical", "og_title", "robots")
 
 
-def _full_batch_fn(width: int, config_kwargs: dict):
+def _full_batch_fn(
+    width: int,
+    config_kwargs: dict,
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
+):
     def full_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
         import os
@@ -334,6 +366,7 @@ def _full_batch_fn(width: int, config_kwargs: dict):
             sys.path.insert(0, _repo)
 
         from rust_html2text_spark.engine.api import Config, plain_config
+        from rust_html2text_spark.engine.charset import decode_html
         from rust_html2text_spark.engine.errors import RenderError
         from rust_html2text_spark.engine.extract import (
             extract_main_full,
@@ -342,7 +375,8 @@ def _full_batch_fn(width: int, config_kwargs: dict):
         from rust_html2text_spark.engine.metadata import page_metadata
 
         config = Config(**config_kwargs) if config_kwargs else plain_config()
-        cols = [f.name for f in FULL_SCHEMA.fields if f.name != "url"]
+        schema = FULL_SNIFF_SCHEMA if charset_sniff else FULL_SCHEMA
+        cols = [f.name for f in schema.fields if f.name != "url"]
         for batch in batches:
             out: dict = {"url": batch["url"]}
             for c in cols:
@@ -369,12 +403,23 @@ def _full_batch_fn(width: int, config_kwargs: dict):
             for url, html in zip(batch["url"], batch["html"]):
                 if html is None:
                     emit(None, "NullInput", 0)
+                    if charset_sniff:
+                        out["encoding"].append(None)
+                        out["encoding_source"].append(None)
                     continue
                 if isinstance(html, str):
                     html = html.encode("utf-8")
+                if charset_sniff:
+                    decoded, codec, src = decode_html(html, charset_fallback)
+                    out["encoding"].append(codec)
+                    out["encoding_source"].append(src)
+                    n_raw = len(html)
+                    html = decoded
+                else:
+                    n_raw = len(html)
                 try:
                     r = extract_main_full(html, width, config, base_url=url)
-                    emit(r["text"], None, len(html), r, r["links"], r["meta"])
+                    emit(r["text"], None, n_raw, r, r["links"], r["meta"])
                 except RenderError as e:
                     # links + metadata do not depend on rendering: recover
                     # them so an unrenderable page still feeds the link
@@ -385,9 +430,9 @@ def _full_batch_fn(width: int, config_kwargs: dict):
                         meta = page_metadata(html, xml_mode=config.xml)
                     except Exception:
                         links, meta = None, None
-                    emit(None, type(e).__name__, len(html), None, links, meta)
+                    emit(None, type(e).__name__, n_raw, None, links, meta)
                 except Exception as e:
-                    emit(None, f"Fail:{type(e).__name__}", len(html))
+                    emit(None, f"Fail:{type(e).__name__}", n_raw)
             yield pd.DataFrame(out)
 
     return full_batches
@@ -400,6 +445,8 @@ def extract_pages_full(
     num_partitions: int | None = None,
     salt: int = 0,
     repartition: str = "salted",
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """One-parse fusion of extract_pages + extract_links + page_metadata:
     (url, text, error, sizes, scoring lineage, links_json, head
@@ -407,14 +454,18 @@ def extract_pages_full(
     parse every page three times — at crawl scale the parse is ~25% of
     the kernel, so the fusion saves ~½ of a full extra pass.  Plan shape
     matches the tier: pruned scan → salted repartition → one
-    mapInPandas."""
+    mapInPandas.  charset_sniff=True adds the WHATWG sniff + (encoding,
+    encoding_source) lineage, same contract as extract_pages."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
     pages = df.select("url", "html")
     if repartition == "salted":
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(_full_batch_fn(width, config_kwargs or {}), FULL_SCHEMA)
+    return pages.mapInPandas(
+        _full_batch_fn(width, config_kwargs or {}, charset_sniff, charset_fallback),
+        FULL_SNIFF_SCHEMA if charset_sniff else FULL_SCHEMA,
+    )
 
 
 def extract_pages(

@@ -178,7 +178,13 @@ MIXED_SCHEMA = StructType(
 )
 
 
-def _mixed_batch_fn(width: int, config_kwargs: dict, page_sep: str):
+def _mixed_batch_fn(
+    width: int,
+    config_kwargs: dict,
+    page_sep: str,
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
+):
     def mixed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
         import sys
@@ -194,6 +200,7 @@ def _mixed_batch_fn(width: int, config_kwargs: dict, page_sep: str):
             html_to_text,
             plain_config,
         )
+        from rust_html2text_spark.engine.charset import decode_html
         from rust_html2text_spark.engine.errors import RenderError
         from rust_html2text_spark.engine.pdftext import PdfError, extract_pdf_ex
 
@@ -236,7 +243,14 @@ def _mixed_batch_fn(width: int, config_kwargs: dict, page_sep: str):
                         emit("pdf", None, f"Fail:{type(e).__name__}", len(payload))
                     continue
                 try:
-                    text = html_to_text(payload, width, config)
+                    # the sniff applies to the HTML lane only — PDF bytes
+                    # are binary and the magic check above already ran
+                    doc = (
+                        decode_html(payload, charset_fallback)[0]
+                        if charset_sniff
+                        else payload
+                    )
+                    text = html_to_text(doc, width, config)
                     emit("html", text, None, len(payload))
                 except RenderError as e:
                     emit("html", None, type(e).__name__, len(payload))
@@ -256,6 +270,8 @@ def extract_mixed_pages(
     payload_col: str = "html",
     page_sep: str = "\f",
     repartition: str = "salted",
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """Mixed-payload extraction: a crawl's pages table carries ONE binary
     payload column, and real Common Crawl responses are ~98% HTML with a
@@ -278,7 +294,10 @@ def extract_mixed_pages(
         n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
     return pages.mapInPandas(
-        _mixed_batch_fn(width, config_kwargs or {}, page_sep), MIXED_SCHEMA
+        _mixed_batch_fn(
+            width, config_kwargs or {}, page_sep, charset_sniff, charset_fallback
+        ),
+        MIXED_SCHEMA,
     )
 
 

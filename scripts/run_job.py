@@ -110,10 +110,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--charset-sniff",
         action="store_true",
-        help="(--mode extract) WHATWG encoding sniff (BOM → meta prescan "
-        "→ utf-8) in front of the parse, with (encoding, encoding_source) "
-        "lineage columns; the render mode never sniffs (byte-identity "
-        "reference parity)",
+        help="(--mode extract|mixed) WHATWG encoding sniff (BOM → meta "
+        "prescan → utf-8) in front of the HTML parse; extract mode adds "
+        "(encoding, encoding_source) lineage columns; the render mode "
+        "never sniffs (byte-identity reference parity)",
     )
     ap.add_argument(
         "--stream",
@@ -358,7 +358,11 @@ def main() -> None:
 
         def operator(part):
             return extract_mixed_pages(
-                part, width=args.width, config_kwargs=config_kwargs, salt=args.salt
+                part,
+                width=args.width,
+                config_kwargs=config_kwargs,
+                salt=args.salt,
+                charset_sniff=args.charset_sniff,
             )
 
     if args.explain:

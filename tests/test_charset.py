@@ -140,3 +140,55 @@ def test_spark_extract_default_has_no_encoding_columns(spark):
         chrome_pages_from_documents(load_documents(spark, SF_DIR)).limit(5)
     )
     assert "encoding" not in df.columns  # sniff is opt-in
+
+
+def test_sniff_across_the_whole_extraction_tier(spark):
+    """charset_sniff is available on every HTML-parsing operator of the
+    tier (fused, links, metadata, mixed router) and they all agree with
+    the engine on the same decoded bytes."""
+    from rust_html2text_spark.engine.extract import extract_main_links
+    from rust_html2text_spark.engine.metadata import page_metadata
+    from rust_html2text_spark.operators.extract import (
+        extract_links,
+        extract_pages_full,
+        page_metadata_pages,
+    )
+    from rust_html2text_spark.operators.pdf import extract_mixed_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+
+    pages = charset_pages_from_documents(load_documents(spark, SF_DIR)).limit(25)
+    inputs = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+
+    full = {
+        r["url"]: r
+        for r in extract_pages_full(pages, width=80, charset_sniff=True).collect()
+    }
+    links: dict = {}
+    for r in extract_links(pages, charset_sniff=True).collect():
+        links.setdefault(r["url"], []).append(
+            (r["ordinal"], r["href"], r["anchor"], r["nofollow"], r["target_abs"])
+        )
+    meta = {
+        r["url"]: r
+        for r in page_metadata_pages(pages, charset_sniff=True).collect()
+    }
+    mixed = {
+        r["url"]: r
+        for r in extract_mixed_pages(pages, width=80, charset_sniff=True).collect()
+    }
+
+    from rust_html2text_spark.engine.api import html_to_text
+
+    for url, raw in inputs.items():
+        dec, codec, src = decode_html(raw)
+        assert full[url]["encoding"] == codec
+        assert full[url]["encoding_source"] == src
+        assert links.get(url, []) == extract_main_links(dec, base_url=url)
+        assert meta[url]["title"] == page_metadata(dec)["title"]
+        assert mixed[url]["kind"] == "html"
+        assert mixed[url]["text"] == html_to_text(dec, 80)
+    # the non-trivial lanes occurred
+    assert {full[u]["encoding"] for u in full} >= {"cp1252", "shift_jis"}
