@@ -122,17 +122,24 @@ def start_render_stream(
 
 
 def extract_stream(
-    pages: DataFrame, width: int = 80, config_kwargs: dict | None = None
+    pages: DataFrame,
+    width: int = 80,
+    config_kwargs: dict | None = None,
+    charset_sniff: bool = False,
+    charset_fallback: str = "utf-8",
 ) -> DataFrame:
     """Streaming main-content extraction: the batch extract_pages stage
-    verbatim (shared batch fn — semantics cannot drift)."""
+    verbatim (shared batch fn — semantics cannot drift), including the
+    opt-in WHATWG charset sniff + encoding lineage."""
     from rust_html2text_spark.operators.extract import (
         EXTRACT_SCHEMA,
+        EXTRACT_SNIFF_SCHEMA,
         _extract_batch_fn,
     )
 
-    fn = _extract_batch_fn(width, config_kwargs or {})
-    return pages.select("url", "html").mapInPandas(fn, EXTRACT_SCHEMA)
+    fn = _extract_batch_fn(width, config_kwargs or {}, charset_sniff, charset_fallback)
+    schema = EXTRACT_SNIFF_SCHEMA if charset_sniff else EXTRACT_SCHEMA
+    return pages.select("url", "html").mapInPandas(fn, schema)
 
 
 def pdf_extract_stream(pages: DataFrame, page_sep: str = "\f") -> DataFrame:
@@ -150,12 +157,18 @@ def start_extraction_stream(
     mode: str = "render",
     width: int = 80,
     config_kwargs: dict | None = None,
+    charset_sniff: bool = False,
 ):
     """start_render_stream generalized over the extraction tier:
     mode = render | extract | pdf | mixed (CLI --stream --mode ...)."""
     pages = stream_pages(spark, input_path)
     if mode == "extract":
-        out = extract_stream(pages, width=width, config_kwargs=config_kwargs)
+        out = extract_stream(
+            pages,
+            width=width,
+            config_kwargs=config_kwargs,
+            charset_sniff=charset_sniff,
+        )
     elif mode == "pdf":
         out = pdf_extract_stream(pages)
     elif mode == "mixed":
@@ -165,7 +178,10 @@ def start_extraction_stream(
         )
 
         out = pages.select("url", "html").mapInPandas(
-            _mixed_batch_fn(width, config_kwargs or {}, "\f"), MIXED_SCHEMA
+            _mixed_batch_fn(
+                width, config_kwargs or {}, "\f", charset_sniff
+            ),
+            MIXED_SCHEMA,
         )
     elif mode == "render":
         out = render_stream(pages, width=width, config_kwargs=config_kwargs)

@@ -318,6 +318,7 @@ def main() -> None:
             q = start_extraction_stream(
                 spark, args.input, args.output, ckpt, mode=args.mode,
                 width=args.width, config_kwargs=config_kwargs,
+                charset_sniff=args.charset_sniff,
             )
         q.processAllAvailable()
         q.stop()

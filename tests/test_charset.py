@@ -192,3 +192,44 @@ def test_sniff_across_the_whole_extraction_tier(spark):
         assert mixed[url]["text"] == html_to_text(dec, 80)
     # the non-trivial lanes occurred
     assert {full[u]["encoding"] for u in full} >= {"cp1252", "shift_jis"}
+
+
+def test_streaming_charset_extract_matches_batch(spark, tmp_path):
+    """--stream --mode extract --charset-sniff parity with the batch
+    operator on the non-UTF-8 corpus, encoding lineage included."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.streaming.pipeline import start_extraction_stream
+
+    pages = charset_pages_from_documents(load_documents(spark, SF_DIR)).limit(20)
+    # the stream source reads (url, warc_ts, html): add the ts column
+    from pyspark.sql import functions as F
+
+    pages = pages.withColumn("warc_ts", F.current_timestamp())
+    inp = str(tmp_path / "in")
+    pages.write.parquet(inp)
+    q = start_extraction_stream(
+        spark,
+        inp,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        mode="extract",
+        charset_sniff=True,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["url"], r["text"], r["encoding"], r["encoding_source"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["url"], r["text"], r["encoding"], r["encoding_source"])
+        for r in extract_pages(
+            spark.read.parquet(inp), width=80, charset_sniff=True
+        ).collect()
+    }
+    assert got == want and len(got) == 20
+    assert {e for _, _, e, _ in got} >= {"cp1252", "shift_jis"}
