@@ -127,3 +127,81 @@ def test_render_with_doc_css_never_crashes(css, width):
         assert isinstance(out, str)
     except RenderError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Round-5: PDF crypto properties (engine/pdfcrypt.py)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=16),
+    st.binary(min_size=0, max_size=400),
+)
+def test_rc4_is_an_involution(key, data):
+    from rust_html2text_spark.engine.pdfcrypt import rc4
+
+    assert rc4(key, rc4(key, data)) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=16, max_size=16),
+    st.binary(min_size=16, max_size=16),
+    st.binary(min_size=0, max_size=600),
+)
+def test_aes_cbc_round_trip(key, iv, data):
+    from rust_html2text_spark.engine.pdfcrypt import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    enc = aes_cbc_encrypt(key, iv, data)
+    assert enc[:16] == iv and len(enc) % 16 == 0
+    assert aes_cbc_decrypt(key, enc) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=24),
+    st.binary(min_size=16, max_size=16),
+    st.sampled_from([(2, 40, "RC4"), (3, 128, "RC4"), (4, 128, "AESV2")]),
+    st.binary(min_size=0, max_size=200),
+)
+def test_writer_reader_handler_symmetry(owner_pw, id0, lane, payload):
+    """Whatever the writer derives (O/U/key per Algorithms 2-5), the
+    reader verifies the empty user password against it and per-object
+    decryption inverts per-object encryption — for every revision/
+    cipher lane and arbitrary owner passwords."""
+    from rust_html2text_spark.engine.pdfcrypt import (
+        StandardSecurityHandler,
+        WriterCrypt,
+    )
+    from rust_html2text_spark.engine.pdfparse import Name
+
+    r, bits, cfm = lane
+    w = WriterCrypt(id0, owner_pw=owner_pw, r=r, length_bits=bits, cfm=cfm)
+    enc = {
+        k: (Name(v) if isinstance(v, str) else v)
+        for k, v in w.encrypt_dict().items()
+    }
+    if "CF" in enc:
+        enc["CF"] = {
+            "StdCF": {
+                k: (Name(v) if isinstance(v, str) else v)
+                for k, v in w.encrypt_dict()["CF"]["StdCF"].items()
+            }
+        }
+    h = StandardSecurityHandler(enc, id0)
+    assert h.key == w.key
+    assert h.decrypt(w.encrypt(payload, 12, 0), 12, 0) == payload
+    # a different object's key must not decrypt it
+    if payload:
+        from rust_html2text_spark.engine.pdfparse import PdfError
+
+        try:
+            wrong = h.decrypt(w.encrypt(payload, 12, 0), 13, 0)
+        except PdfError:
+            wrong = None  # hostile-padding rejection also counts
+        assert wrong != payload
