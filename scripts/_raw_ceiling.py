@@ -1,6 +1,7 @@
-"""Raw-multiprocessing host ceiling for the render kernel (no Spark) over
-the SAME pages corpus the Spark measurement uses.
-Usage: _raw_ceiling.py <cpus> <pages_parquet_dir>; prints one JSON line."""
+"""Raw-multiprocessing host ceiling for the render (or extract) kernel
+(no Spark) over the SAME pages corpus the Spark measurement uses.
+Usage: _raw_ceiling.py <cpus> <pages_parquet_dir> [render|extract];
+prints one JSON line."""
 
 import glob
 import json
@@ -10,14 +11,17 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-def work(chunk):
+def work(args):
+    chunk, op = args
     from rust_html2text_spark.engine.api import html_to_text
     from rust_html2text_spark.engine.errors import RenderError
+    from rust_html2text_spark.engine.extract import extract_main
 
+    kernel = extract_main if op == "extract" else html_to_text
     n = 0
     for html in chunk:
         try:
-            html_to_text(html, 80)
+            kernel(html, 80)
         except RenderError:
             pass
         n += 1
@@ -29,13 +33,14 @@ def main():
 
     procs = int(sys.argv[1])
     pages_dir = sys.argv[2]
+    op = sys.argv[3] if len(sys.argv) > 3 else "render"
     htmls = []
     for f in sorted(glob.glob(f"{pages_dir}/*.parquet")):
         tbl = pq.read_table(f, columns=["html"])
         htmls.extend(v.as_py() for v in tbl.column("html"))
-    chunks = [htmls[i::procs] for i in range(procs)]
+    chunks = [(htmls[i::procs], op) for i in range(procs)]
     with mp.Pool(procs) as pool:
-        pool.map(work, [c[:50] for c in chunks])  # warm
+        pool.map(work, [(c[:50], op) for c, op in chunks])  # warm
         best = None
         for _ in range(2):
             t0 = time.perf_counter()

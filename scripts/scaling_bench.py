@@ -26,21 +26,27 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from rust_html2text_spark.plans.session import get_spark
+from rust_html2text_spark.operators.extract import extract_pages
 from rust_html2text_spark.operators.render import render_pages
 
 cpus = int(sys.argv[1])
 pages_path = sys.argv[2]
+op_name = sys.argv[3] if len(sys.argv) > 3 else "render"
+def op(df, **kw):
+    if op_name == "extract":
+        return extract_pages(df, **kw)
+    return render_pages(df, **kw)
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(pages_path)
 n_docs = pages.count()
 html_mb = pages.agg(F.sum(F.length("html")).alias("b")).collect()[0]["b"] / 1e6
-render_pages(pages, width=80, num_partitions=cpus, outlier_bytes=None).count()  # warmup (full: all workers hot)
+op(pages, width=80, num_partitions=cpus, outlier_bytes=None).count()  # warmup (full: all workers hot)
 sec = None
 for _trial in range(3):  # best-of-3: the sandbox host is noisy
     t0 = time.monotonic()
-    stats = render_pages(pages, width=80, num_partitions=cpus, outlier_bytes=None).agg(
+    stats = op(pages, width=80, num_partitions=cpus, outlier_bytes=None).agg(
         F.count("*").alias("n"), F.sum("text_bytes").alias("tb")).collect()[0]
     trial_sec = time.monotonic() - t0
     assert stats["n"] == n_docs
@@ -61,6 +67,12 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2,
                     help="repeat measurements; keep best per level "
                          "(the VM host has noisy neighbours)")
+    ap.add_argument("--op", choices=("render", "extract"), default="render",
+                    help="render: full-document render over the plain pages "
+                         "corpus (rewrites the main BASELINE.md tables); "
+                         "extract: main-content extraction over the "
+                         "chrome-wrapped corpus (appends/refreshes the "
+                         "extraction-tier section)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -75,9 +87,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from rust_html2text_spark.sources.corpus import expand_pages
 
-    pages = expand_pages(
-        load_pages(spark, args.sf_dir, skew_fraction=0.05), args.mult
-    )
+    if args.op == "extract":
+        from rust_html2text_spark.sources.corpus import (
+            chrome_pages_from_documents,
+            load_documents,
+        )
+
+        base = chrome_pages_from_documents(load_documents(spark, args.sf_dir))
+    else:
+        base = load_pages(spark, args.sf_dir, skew_fraction=0.05)
+    pages = expand_pages(base, args.mult)
     pages.repartition(64).write.mode("overwrite").parquet(pages_path)
     spark.stop()
 
@@ -94,7 +113,8 @@ def main() -> None:
         for cpus in levels:
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-                 str(REPO / "scripts" / "_raw_ceiling.py"), str(cpus), pages_path],
+                 str(REPO / "scripts" / "_raw_ceiling.py"), str(cpus), pages_path,
+                 args.op],
                 capture_output=True, text=True, check=True,
             )
             c = json.loads(out.stdout.splitlines()[-1])
@@ -106,7 +126,7 @@ def main() -> None:
             # this, local[8]'s Python workers overflow onto the other cores.
             out = subprocess.run(
                 ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
-                 worker_src, str(cpus), pages_path],
+                 worker_src, str(cpus), pages_path, args.op],
                 capture_output=True,
                 text=True,
                 check=True,
@@ -139,6 +159,48 @@ def main() -> None:
 
     md = REPO / "BENCH" / "BASELINE.md"
     md.parent.mkdir(exist_ok=True)
+    if args.op == "extract":
+        # splice an extraction-tier section into the existing file
+        # (between markers), leaving the render tables + hand notes alone
+        begin, end = "<!-- EXTRACT-SCALING -->", "<!-- /EXTRACT-SCALING -->"
+        sec = "\n".join([
+            begin,
+            "",
+            "## Extraction-tier scaling (main-content extract, chrome corpus)",
+            "",
+            f"Same two-level harness over the chrome-wrapped corpus"
+            f" (sf0.1 × {args.mult} = {hi['n_docs']} docs,"
+            f" {hi['html_mb']} MB HTML), kernel = boilerplate strip +"
+            " candidate scoring + render of the winner:",
+            "",
+            "| cores | wall sec | docs/sec | ceiling docs/sec | Spark/ceiling |",
+            "|---|---|---|---|---|",
+            f"| local[{lo['cpus']}] | {lo['sec']} | {lo['docs_per_sec']} |"
+            f" {ceil_lo:.0f} | {lo['docs_per_sec']/ceil_lo:.2f} |",
+            f"| local[{hi['cpus']}] | {hi['sec']} | {hi['docs_per_sec']} |"
+            f" {ceil_hi:.0f} | {hi['docs_per_sec']/ceil_hi:.2f} |",
+            "",
+            f"- scaling efficiency: **{efficiency:.2f}** (host's own"
+            f" pinned-core ceiling efficiency this run:"
+            f" {ceil_ratio/core_ratio:.2f})",
+            "",
+            end,
+        ])
+        text = md.read_text() if md.exists() else ""
+        if begin in text and end in text:
+            head, rest = text.split(begin, 1)
+            _, tail2 = rest.split(end, 1)
+            text = head + sec + tail2
+        else:
+            marker = "<!-- HAND-MAINTAINED NOTES BELOW -->"
+            if marker in text:
+                head, tail2 = text.split(marker, 1)
+                text = head + sec + "\n" + marker + tail2
+            else:
+                text = text + "\n" + sec + "\n"
+        md.write_text(text)
+        return
+
     lines = [
         "# BENCH/BASELINE — measured throughput and scaling",
         "",
