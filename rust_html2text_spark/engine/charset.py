@@ -103,16 +103,29 @@ def _label_to_codec(label: str) -> str | None:
     return WHATWG_LABELS.get(label.strip().lower())
 
 
-def sniff_encoding(data: bytes, fallback: str = "utf-8") -> tuple[str, str]:
-    """Return (python codec, source) with source in {"bom", "meta",
-    "default"}.  Only the first 1024 bytes are prescanned for a meta
-    declaration, per the WHATWG prescan window."""
+def sniff_encoding(
+    data: bytes,
+    fallback: str = "utf-8",
+    transport_label: str | None = None,
+) -> tuple[str, str]:
+    """Return (python codec, source) with source in {"bom", "http",
+    "meta", "default"}.  Detection order per the WHATWG algorithm: a BOM
+    always wins; then the transport layer's declaration
+    (`transport_label`, e.g. the charset= parameter of an HTTP
+    Content-Type header — a crawl's WARC records carry it); then the
+    1024-byte meta prescan; then the caller's fallback.  An unknown
+    transport label falls through to the prescan rather than erroring
+    (crawl headers lie and typo)."""
     if data.startswith(b"\xef\xbb\xbf"):
         return "utf-8", "bom"
     if data.startswith(b"\xff\xfe"):
         return "utf-16-le", "bom"
     if data.startswith(b"\xfe\xff"):
         return "utf-16-be", "bom"
+    if transport_label:
+        codec = _label_to_codec(transport_label)
+        if codec is not None:
+            return codec, "http"
     head = _COMMENT_RE.sub(b"", data[:1024])
     m = _META_CHARSET_RE.search(head)
     if m:
@@ -131,12 +144,16 @@ def sniff_encoding(data: bytes, fallback: str = "utf-8") -> tuple[str, str]:
     return codec, "default"
 
 
-def decode_html(data: bytes, fallback: str = "utf-8") -> tuple[str, str, str]:
+def decode_html(
+    data: bytes,
+    fallback: str = "utf-8",
+    transport_label: str | None = None,
+) -> tuple[str, str, str]:
     """Sniff + decode: returns (text, codec, source).  Decoding never
     raises (errors=replace — a lying declaration degrades to U+FFFD
     noise, it must not kill a batch); a BOM is not part of the
     document and is stripped."""
-    codec, source = sniff_encoding(data, fallback)
+    codec, source = sniff_encoding(data, fallback, transport_label)
     if source == "bom":
         data = data[3:] if codec == "utf-8" else data[2:]
     try:

@@ -51,6 +51,7 @@ def _extract_batch_fn(
     config_kwargs: dict,
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
+    charset_col: str | None = None,
 ):
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gc
@@ -85,7 +86,12 @@ def _extract_batch_fn(
             if charset_sniff:
                 out["encoding"] = []
                 out["encoding_source"] = []
-            for html in batch["html"]:
+            labels = (
+                batch[charset_col]
+                if charset_col is not None and charset_col in batch
+                else [None] * len(batch)
+            )
+            for html, label in zip(batch["html"], labels):
                 if html is None:
                     out["text"].append(None)
                     out["error"].append("NullInput")
@@ -102,7 +108,11 @@ def _extract_batch_fn(
                     html = html.encode("utf-8")
                 out["html_bytes"].append(len(html))
                 if charset_sniff:
-                    decoded, codec, src = decode_html(html, charset_fallback)
+                    if label is not None and not isinstance(label, str):
+                        label = None  # NaN from pandas for NULL cells
+                    decoded, codec, src = decode_html(
+                        html, charset_fallback, transport_label=label
+                    )
                     out["encoding"].append(codec)
                     out["encoding_source"].append(src)
                     html = decoded  # engine parse path accepts str as-is
@@ -478,6 +488,7 @@ def extract_pages(
     repartition: str = "salted",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
+    charset_col: str | None = None,
 ) -> DataFrame:
     """Extract main content from a pages DataFrame (url, html, ...) →
     (url, text, error, sizes, winner_tag, score, n_candidates).  Same
@@ -487,15 +498,25 @@ def extract_pages(
     of siblings (the lane's second-scan cost and when to disable it are
     quantified in render_pages' docstring).
 
-    charset_sniff=True runs the WHATWG encoding sniff (BOM → meta
-    prescan → charset_fallback) in front of the parse and appends
-    (encoding, encoding_source) lineage — the extraction tier targets
-    real crawls where non-UTF-8 pages are a double-digit percentage.
-    Off by default: the render path's utf-8/replace is byte-identical
+    charset_sniff=True runs the WHATWG encoding sniff (BOM → transport
+    label → meta prescan → charset_fallback) in front of the parse and
+    appends (encoding, encoding_source) lineage — the extraction tier
+    targets real crawls where non-UTF-8 pages are a double-digit
+    percentage.  `charset_col` names a per-row transport-layer label
+    column (read_warc_pages(include_charset_col=True) emits
+    `http_charset` from the record's Content-Type header).  Off by
+    default: the render path's utf-8/replace is byte-identical
     reference parity and stays that way."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
-    pages = df.select("url", "html")
+    cols = ["url", "html"]
+    if charset_col is not None:
+        if charset_col not in df.columns:
+            raise ValueError(
+                f"charset_col {charset_col!r} not in input columns {df.columns}"
+            )
+        cols.append(charset_col)
+    pages = df.select(*cols)
     if outlier_bytes is not None:
         # coalesce: NULL html must land in the normal lane (→ a NullInput
         # error row), not silently vanish from both filter branches
@@ -516,7 +537,7 @@ def extract_pages(
         normal = normal.repartition(n, key)
 
     fn = _extract_batch_fn(
-        width, config_kwargs or {}, charset_sniff, charset_fallback
+        width, config_kwargs or {}, charset_sniff, charset_fallback, charset_col
     )
     schema = EXTRACT_SNIFF_SCHEMA if charset_sniff else EXTRACT_SCHEMA
     out = normal.mapInPandas(fn, schema)

@@ -58,7 +58,7 @@ def _split_http_payload(block: bytes) -> bytes:
     data) and/or `Content-Encoding: gzip|deflate|br`.  Both must be undone
     before the bytes are HTML; a malformed encoding degrades to the framed
     body as-is (lossy but never task-fatal)."""
-    payload, _err = _decode_http_payload(block)
+    payload, _charset, _err = _decode_http_payload(block)
     return payload
 
 
@@ -128,14 +128,38 @@ def _decompress_content(body: bytes, encoding: str) -> bytes:
     return body
 
 
-def _decode_http_payload(block: bytes) -> tuple[bytes, str | None]:
-    """(payload, ingest_error) — de-frame and decode an HTTP response block.
-    On any malformed encoding the framed body is returned as-is with an
-    error marker, so one hostile record never kills an ingest task."""
+_CHARSET_PARAM_RE = None  # compiled lazily (module import stays light)
+
+
+def _charset_from_content_type(value: str) -> str | None:
+    """The charset= parameter of an HTTP Content-Type header value —
+    the transport-layer encoding declaration the WHATWG sniff consults
+    ahead of the meta prescan."""
+    global _CHARSET_PARAM_RE
+    if _CHARSET_PARAM_RE is None:
+        import re
+
+        _CHARSET_PARAM_RE = re.compile(
+            r"""charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""", re.IGNORECASE
+        )
+    m = _CHARSET_PARAM_RE.search(value)
+    return m.group(1).lower() if m else None
+
+
+def _decode_http_payload(
+    block: bytes,
+) -> tuple[bytes, str | None, str | None]:
+    """(payload, http_charset, ingest_error) — de-frame and decode an
+    HTTP response block.  On any malformed encoding the framed body is
+    returned as-is with an error marker, so one hostile record never
+    kills an ingest task.  http_charset is the Content-Type charset=
+    parameter (lowercased label) when present — the transport-layer
+    declaration for the extraction tier's encoding sniff."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
-        return block, None  # not http-framed (e.g. conversion record)
+        return block, None, None  # not http-framed (e.g. conversion record)
     headers = _parse_http_headers(block[:sep])
+    charset = _charset_from_content_type(headers.get("content-type", ""))
     body = block[sep + 4 :]
     try:
         if "chunked" in headers.get("transfer-encoding", "").lower():
@@ -143,9 +167,9 @@ def _decode_http_payload(block: bytes) -> tuple[bytes, str | None]:
         ce = headers.get("content-encoding", "")
         if ce and ce.lower() not in ("identity",):
             body = _decompress_content(body, ce)
-        return body, None
+        return body, charset, None
     except ValueError as e:
-        return block[sep + 4 :], str(e)
+        return block[sep + 4 :], charset, str(e)
 
 
 def _parse_warc_date(value: str) -> datetime | None:
@@ -256,9 +280,10 @@ def _file_chunks(path: str) -> Iterator[bytes]:
 
 
 def _iter_warc_pages_ex(chunks, include_types):
-    """(url, warc_ts, payload, ingest_error) per matching record —
-    ingest_error is non-None when the HTTP body claimed an encoding that
-    could not be decoded (payload then degrades to the framed body)."""
+    """(url, warc_ts, payload, http_charset, ingest_error) per matching
+    record — ingest_error is non-None when the HTTP body claimed an
+    encoding that could not be decoded (payload then degrades to the
+    framed body); http_charset is the Content-Type charset= label."""
     for headers, block in iter_warc_records(chunks):
         if headers.get("warc-type") not in include_types:
             continue
@@ -266,12 +291,12 @@ def _iter_warc_pages_ex(chunks, include_types):
         if url is None:
             continue
         ts = _parse_warc_date(headers.get("warc-date", ""))
-        payload, err = _decode_http_payload(block)
-        yield url, ts, payload, err
+        payload, charset, err = _decode_http_payload(block)
+        yield url, ts, payload, charset, err
 
 
 def _iter_warc_pages(chunks, include_types):
-    for url, ts, payload, _err in _iter_warc_pages_ex(chunks, include_types):
+    for url, ts, payload, _cs, _err in _iter_warc_pages_ex(chunks, include_types):
         yield url, ts, payload
 
 
@@ -284,8 +309,9 @@ def iter_warc_file(
 
 def iter_warc_file_ex(
     path: str, include_types: tuple[str, ...] = ("response",)
-) -> Iterator[tuple[str, datetime | None, bytes, str | None]]:
-    """iter_warc_file plus the per-record ingest-error marker."""
+) -> Iterator[tuple[str, datetime | None, bytes, str | None, str | None]]:
+    """iter_warc_file plus the per-record Content-Type charset label and
+    the ingest-error marker."""
     yield from _iter_warc_pages_ex(_file_chunks(path), include_types)
 
 
@@ -313,6 +339,7 @@ def read_warc_pages(
     records_per_batch: int = 256,
     batch_bytes: int = 32 << 20,
     include_error_col: bool = False,
+    include_charset_col: bool = False,
 ):
     """WARC file(s) → pages DataFrame (north-rule schema; text/lang NULL —
     they are downstream products).  `paths` is a glob string or a list of
@@ -321,7 +348,13 @@ def read_warc_pages(
     `include_error_col=True` appends an `ingest_error` string column:
     non-NULL where the record's HTTP body claimed a Transfer-/Content-
     Encoding that could not be decoded (the html column then carries the
-    framed body as-is) — the lineage signal for crawl-QA dashboards."""
+    framed body as-is) — the lineage signal for crawl-QA dashboards.
+
+    `include_charset_col=True` appends `http_charset`: the Content-Type
+    charset= label from the record's HTTP headers (transport-layer
+    encoding declaration) — feed it to the extraction operators'
+    `charset_col` so the WHATWG sniff consults it between the BOM and
+    the meta prescan, exactly as a browser would."""
     if isinstance(paths, str):
         import glob as globmod
 
@@ -335,6 +368,7 @@ def read_warc_pages(
     rpb = int(records_per_batch)
     bb = int(batch_bytes)
     with_err = bool(include_error_col)
+    with_charset = bool(include_charset_col)
 
     def read_files(batches):
         import os
@@ -349,8 +383,10 @@ def read_warc_pages(
 
         from rust_html2text_spark.sources.warc import iter_warc_file_ex
 
-        cols = ["url", "warc_ts", "html", "text", "lang"] + (
-            ["ingest_error"] if with_err else []
+        cols = (
+            ["url", "warc_ts", "html", "text", "lang"]
+            + (["http_charset"] if with_charset else [])
+            + (["ingest_error"] if with_err else [])
         )
 
         def flush(rows):
@@ -361,9 +397,15 @@ def read_warc_pages(
                 rows: list[tuple] = []
                 size = 0
                 try:
-                    for url, ts, html, err in iter_warc_file_ex(path, include):
+                    for url, ts, html, cs, err in iter_warc_file_ex(
+                        path, include
+                    ):
                         row = (url, ts, html, None, None)
-                        rows.append(row + (err,) if with_err else row)
+                        if with_charset:
+                            row = row + (cs,)
+                        if with_err:
+                            row = row + (err,)
+                        rows.append(row)
                         size += len(html)
                         if len(rows) >= rpb or size >= bb:
                             yield flush(rows)
@@ -375,7 +417,11 @@ def read_warc_pages(
                 if rows:
                     yield flush(rows)
 
-    schema = PAGES_SCHEMA + (", ingest_error string" if with_err else "")
+    schema = (
+        PAGES_SCHEMA
+        + (", http_charset string" if with_charset else "")
+        + (", ingest_error string" if with_err else "")
+    )
     files = spark.createDataFrame([(p,) for p in paths], "path string")
     # round-robin: exactly one file per task (gzip is unsplittable; the
     # file is the unit of parallelism, as in any 100k-file crawl read)
@@ -401,6 +447,7 @@ def write_warc_file(
     records: Iterable[tuple[str, datetime | None, bytes]],
     gzip_members: bool = True,
     http_encoding: str | None = None,
+    content_type: str = "text/html; charset=UTF-8",
 ) -> int:
     """Write (url, warc_ts, html) records as a WARC file, one gzip member
     per record (Common Crawl layout).  Deterministic output: record ids
@@ -412,7 +459,9 @@ def write_warc_file(
       "gzip"     — Content-Encoding: gzip
       "chunked"  — Transfer-Encoding: chunked
       "gzip+chunked" — gzip content coding, then chunked transfer framing
-      (the on-the-wire order real servers use: TE applied after CE)."""
+      (the on-the-wire order real servers use: TE applied after CE).
+    `content_type` sets the HTTP Content-Type header (e.g. with a
+    non-UTF-8 charset= label to exercise the transport-charset lane)."""
     import gzip as gzipmod
 
     if http_encoding not in (None, "gzip", "chunked", "gzip+chunked"):
@@ -438,7 +487,7 @@ def write_warc_file(
                 enc_headers += b"Content-Length: " + str(len(body)).encode() + b"\r\n"
             http = (
                 b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html; charset=UTF-8\r\n"
+                b"Content-Type: " + content_type.encode("ascii") + b"\r\n"
                 + enc_headers
                 + b"\r\n"
                 + body

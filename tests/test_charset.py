@@ -233,3 +233,69 @@ def test_streaming_charset_extract_matches_batch(spark, tmp_path):
     }
     assert got == want and len(got) == 20
     assert {e for _, _, e, _ in got} >= {"cp1252", "shift_jis"}
+
+
+def test_transport_label_between_bom_and_meta():
+    # transport (HTTP) label beats the meta prescan...
+    data = b'<meta charset="shift_jis"><p>x</p>'
+    assert sniff_encoding(data, transport_label="windows-1252") == (
+        "cp1252",
+        "http",
+    )
+    # ...but a BOM beats the transport label
+    assert sniff_encoding(b"\xef\xbb\xbf" + data, transport_label="windows-1252") == (
+        "utf-8",
+        "bom",
+    )
+    # unknown transport labels fall through to the prescan (headers lie)
+    assert sniff_encoding(data, transport_label="bogus-charset") == (
+        "shift_jis",
+        "meta",
+    )
+    # and to the fallback when there is no meta either
+    assert sniff_encoding(b"<p>x</p>", transport_label="bogus") == (
+        "utf-8",
+        "default",
+    )
+
+
+def test_warc_http_charset_to_extraction(spark, tmp_path):
+    """End-to-end crawl-reality lane: a WARC whose HTTP Content-Type
+    declares windows-1252 (body has NO meta and non-UTF-8 bytes) flows
+    charset-correct through read_warc_pages(include_charset_col=True) →
+    extract_pages(charset_sniff=True, charset_col='http_charset')."""
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.warc import (
+        read_warc_pages,
+        write_warc_file,
+    )
+
+    body = (
+        "<html><body><article><p>Transport-declared page — “curly” "
+        "quotes and a café, with commas, and enough words to extract "
+        "confidently here.</p></article></body></html>"
+    ).encode("cp1252")
+    recs = [(f"https://t.example/{i}", None, body) for i in range(6)]
+    p = str(tmp_path / "cs.warc.gz")
+    write_warc_file(
+        p, recs, content_type="text/html; charset=windows-1252"
+    )
+
+    pages = read_warc_pages(spark, [p], include_charset_col=True)
+    assert "http_charset" in pages.columns
+    rows = extract_pages(
+        pages, width=100, charset_sniff=True, charset_col="http_charset"
+    ).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["error"] is None
+        assert r["encoding"] == "cp1252"
+        assert r["encoding_source"] == "http"
+        assert "“curly” quotes and a café" in r["text"]
+
+    # without the transport column the same bytes degrade to mojibake —
+    # the lane proves the header genuinely carried the signal
+    rows_nolabel = extract_pages(
+        pages, width=100, charset_sniff=True
+    ).collect()
+    assert all("“curly”" not in (r["text"] or "") for r in rows_nolabel)

@@ -308,20 +308,20 @@ def test_malformed_encoding_degrades_not_fatal(tmp_path):
         b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
         b"ffff\r\n<p>truncated"
     )
-    payload, err = _decode_http_payload(bad_chunked)
+    payload, _cs, err = _decode_http_payload(bad_chunked)
     assert payload == b"ffff\r\n<p>truncated" and err is not None
 
     bad_gzip = (
         b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
         b"not actually gzip bytes"
     )
-    payload, err = _decode_http_payload(bad_gzip)
+    payload, _cs, err = _decode_http_payload(bad_gzip)
     assert payload == b"not actually gzip bytes" and err is not None
 
     unknown = (
         b"HTTP/1.1 200 OK\r\nContent-Encoding: zstd\r\n\r\nZSTDBYTES"
     )
-    payload, err = _decode_http_payload(unknown)
+    payload, _cs, err = _decode_http_payload(unknown)
     assert payload == b"ZSTDBYTES" and "zstd" in err
 
     # a whole file: one malformed record between two good ones
@@ -365,7 +365,7 @@ def test_deflate_content_encoding():
     raw_deflate = raw_obj.compress(html) + raw_obj.flush()
     for body in (z.compress(html), raw_deflate):
         blk = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body
-        payload, err = _decode_http_payload(blk)
+        payload, _cs, err = _decode_http_payload(blk)
         assert (payload, err) == (html, None)
 
 
