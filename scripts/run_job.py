@@ -224,7 +224,11 @@ def main() -> None:
     if fmt == "warc":
         from rust_html2text_spark.sources.warc import read_warc_pages
 
-        pages = read_warc_pages(spark, args.input)
+        # with the sniff on, carry the HTTP Content-Type charset label so
+        # the extraction operators consult it between BOM and meta
+        pages = read_warc_pages(
+            spark, args.input, include_charset_col=args.charset_sniff
+        )
     else:
         pages = spark.read.parquet(args.input)
 
@@ -342,6 +346,11 @@ def main() -> None:
                 config_kwargs=config_kwargs,
                 salt=args.salt,
                 charset_sniff=args.charset_sniff,
+                charset_col=(
+                    "http_charset"
+                    if args.charset_sniff and "http_charset" in part.columns
+                    else None
+                ),
             )
 
     elif args.mode == "pdf":
