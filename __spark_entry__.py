@@ -188,6 +188,25 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_edges.unionByName(pdf_edges)
 
 
+def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl frontier gated through per-host robots.txt (RFC 9309):
+    rules parse once per host (named-group selection exercised — the
+    corpus carries a non-matching `other-bot` group that must be
+    skipped), then longest-match-wins / allow-wins-ties per edge via a
+    host-keyed join with codegen LIKE matching.  Edges with no
+    governing rule stay allowed."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_rules,
+    )
+    from rust_html2text_spark.sources.corpus import robots_for_frontier
+
+    edges = q_crawl_frontier(spark, sf_dir)
+    robots = robots_for_frontier(edges)
+    rules = robots_rules(robots, agent="spark-graft-bot")
+    return frontier_allowed(edges, rules)
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload routing: one binary payload column (HTML for even
     doc_ids, PDF for odd), magic-byte sniffed and routed to the right
@@ -848,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "pdf_links": q_pdf_links,
         "crawl_frontier": q_crawl_frontier,
+        "robots_frontier": q_robots_frontier,
         "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
@@ -858,7 +878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "doc_repetition": q_doc_repetition,
         "line_dedup": q_line_dedup,
-        "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_fingerprint,
@@ -903,8 +922,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       exact_dup_groups    — 0 rows at every tested SF (the synthetic
                             corpus has no byte-exact dups), the weakest
                             gate signal; prefix_dup_groups covers the
-                            same hash-groupBy shape with live rows.
-    All six stay fully verified locally: scripts/check_oracles.py and
+                            same hash-groupBy shape with live rows;
+      token_count         ⊂ quality_score (same tokenizer; n_tokens and
+                            n_chars are in its gated output — only the
+                            BPE-ish pre-token count column is unique,
+                            and it stays extras-verified).
+    All stay fully verified locally: scripts/check_oracles.py and
     tests/test_oracles.py run them against the same DuckDB oracles."""
     return {
         "rolling_hash": q_rolling_hash,
@@ -913,6 +936,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "media_decode": q_media_decode,
         "exact_dup_groups": q_exact_dup_groups,
+        "token_count": q_token_count,
     }
 
 
@@ -1131,8 +1155,70 @@ def oracle_sql() -> dict[str, str]:
         "AND l.doc_id < r.doc_id)"
     )
 
+    frontier_sql = (
+        "SELECT q.url AS url, u.target_abs AS target, 'html' AS kind "
+        "FROM (SELECT g.url, g.main_links "
+        f"FROM {_GOLDENS} g JOIN documents d ON g.doc_key = {_DOC_KEY}"
+        ") q, UNNEST(q.main_links) AS t(u) WHERE u.nofollow = 0 "
+        "AND (u.target_abs LIKE 'http://%' OR u.target_abs LIKE 'https://%') "
+        "UNION ALL "
+        "SELECT q.url AS url, u.uri AS target, 'pdf' AS kind "
+        "FROM (SELECT 'https://www.' || d.source || "
+        "'.example.com/pdf/' || CAST(d.doc_id AS VARCHAR) AS url, "
+        f"g.pdf_links FROM {_GOLDENS} g JOIN documents d "
+        f"ON g.doc_key = {_DOC_KEY}"
+        ") q, UNNEST(q.pdf_links) AS t(u)"
+    )
+
+    # DuckDB replica of the robots gate: the SAME deterministic per-host
+    # rule set sources/corpus.robots_txt_for_host emits (for agent
+    # 'spark-graft-bot' the '*' group governs), longest-match via a
+    # struct max exactly like functions/robots.frontier_allowed.
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)"
+    robots_frontier_sql = f"""
+        WITH edges AS ({frontier_sql}),
+        e AS (
+            SELECT row_number() OVER () AS eid, url, target, kind,
+                   regexp_extract(target, '{host_re}', 1) AS host,
+                   CASE WHEN regexp_extract(target, '{path_re}', 1) = ''
+                        THEN '/' ELSE regexp_extract(target, '{path_re}', 1)
+                   END AS path
+            FROM edges
+        ),
+        hosts AS (SELECT DISTINCT host FROM e),
+        rules AS (
+            SELECT host, '/up/' AS pattern, '/up/%' AS plike,
+                   4 AS plen, 0 AS allow FROM hosts
+            UNION ALL SELECT host, '/login', '/login%', 6, 0 FROM hosts
+            UNION ALL SELECT host, '/up/open', '/up/open%', 8, 1 FROM hosts
+            UNION ALL SELECT host, '/pdf/*3$', '/pdf/%3', 8, 0 FROM hosts
+                WHERE host LIKE 'www.%'
+            UNION ALL SELECT host, '/rel/', '/rel/%', 5, 0 FROM hosts
+                WHERE length(host) % 2 = 0
+            UNION ALL SELECT host, '/rel/2', '/rel/2%', 6, 1 FROM hosts
+                WHERE length(host) % 2 = 0
+        ),
+        m AS (
+            SELECT e.eid, e.url, e.target, e.kind,
+                   CASE WHEN r.pattern IS NOT NULL AND e.path LIKE r.plike
+                        THEN {{'plen': r.plen, 'allow': r.allow,
+                              'pattern': r.pattern}} END AS hit
+            FROM e LEFT JOIN rules r ON r.host = e.host
+        ),
+        agg AS (
+            SELECT eid, url, target, kind, max(hit) AS best
+            FROM m GROUP BY eid, url, target, kind
+        )
+        SELECT url, target, kind,
+               coalesce(best.allow = 1, TRUE) AS allowed,
+               best.pattern AS matched_rule
+        FROM agg
+    """
+
     return {
         "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
+        "robots_frontier": robots_frontier_sql,
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "

@@ -364,6 +364,68 @@ def charset_pages_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def robots_txt_for_host(host: str) -> str:
+    """Deterministic robots.txt for a corpus host, exercising the RFC
+    9309 surface: a non-matching named group (must be skipped for any
+    other product token), prefix rules, a longer Allow override, a
+    `$`-anchored wildcard (www hosts only), and host-conditional rules
+    (even-length hosts)."""
+    lines = [
+        "# synthetic robots corpus",
+        "User-agent: other-bot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+        "Disallow: /up/",
+        "Disallow: /login",
+        "Allow: /up/open",
+    ]
+    if host.startswith("www."):
+        lines.append("Disallow: /pdf/*3$")
+    if len(host) % 2 == 0:
+        lines.append("Disallow: /rel/")
+        lines.append("Allow: /rel/2")
+    return "\n".join(lines) + "\n"
+
+
+def robots_for_frontier(edges: DataFrame, target_col: str = "target") -> DataFrame:
+    """(host, robots_txt) for every distinct host in a frontier edge
+    list — the robots corpus the gate consumes."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from rust_html2text_spark.functions.robots import HOST_RE
+
+    hosts = edges.select(
+        F.regexp_extract(F.col(target_col), HOST_RE, 1).alias("host")
+    ).distinct()
+
+    schema = StructType(
+        [StructField("host", StringType()), StructField("robots_txt", StringType())]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        from rust_html2text_spark.sources.corpus import robots_txt_for_host
+
+        for batch in batches:
+            hs = [h for h in batch["host"] if h]
+            yield pd.DataFrame(
+                {"host": hs, "robots_txt": [robots_txt_for_host(h) for h in hs]}
+            )
+
+    return hosts.mapInPandas(build, schema)
+
+
 def load_pages(
     spark: SparkSession,
     sf_dir: str,
