@@ -205,3 +205,35 @@ def test_writer_reader_handler_symmetry(owner_pw, id0, lane, payload):
         except PdfError:
             wrong = None  # hostile-padding rejection also counts
         assert wrong != payload
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=600))
+def test_decode_html_never_raises_and_is_deterministic(data):
+    from rust_html2text_spark.engine.charset import decode_html
+
+    a = decode_html(data)
+    assert a == decode_html(data)
+    assert isinstance(a[0], str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet="Uusera-gnt:AlowDi/*$%_\\ \t\n#\r日",
+        min_size=0,
+        max_size=300,
+    ),
+    st.sampled_from(["*", "spark-graft-bot", "x"]),
+)
+def test_parse_robots_rules_never_raises(txt, agent):
+    from rust_html2text_spark.functions.robots import (
+        _pattern_to_like,
+        parse_robots_rules,
+    )
+
+    rules = parse_robots_rules(txt, agent)
+    assert rules == parse_robots_rules(txt, agent)
+    for pattern, allow in rules:
+        assert allow in (0, 1)
+        _pattern_to_like(pattern)  # translation never raises either
