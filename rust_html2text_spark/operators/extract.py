@@ -46,6 +46,45 @@ EXTRACT_SNIFF_SCHEMA = StructType(
 )
 
 
+def _with_outlier_lane(
+    df: DataFrame,
+    pages: DataFrame,
+    fn,
+    schema,
+    num_partitions: int | None,
+    salt: int,
+    repartition: str,
+    outlier_bytes: int | None,
+) -> DataFrame:
+    """Shared plan tail for the extraction tier: optional oversized-page
+    routing (one giant page must never stall a task's worth of
+    siblings), salted url-hash repartition, mapInPandas, union of the
+    two lanes.  The coalesce keeps NULL html in the normal lane (→ a
+    NullInput/absent row, never silently vanishing from both filter
+    branches)."""
+    if outlier_bytes is not None:
+        pages = pages.withColumn(
+            "_oversized",
+            F.coalesce(F.length("html") > outlier_bytes, F.lit(False)),
+        )
+        normal = pages.filter(~F.col("_oversized")).drop("_oversized")
+        oversized = pages.filter(F.col("_oversized")).drop("_oversized")
+    else:
+        normal = pages
+        oversized = None
+
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    n = int(n)
+    key = F.xxhash64(F.col("url"), F.lit(salt))
+    if repartition == "salted":
+        normal = normal.repartition(n, key)
+    out = normal.mapInPandas(fn, schema)
+    if oversized is not None:
+        oversized = oversized.repartition(n, key)
+        out = out.unionByName(oversized.mapInPandas(fn, schema))
+    return out
+
+
 def _extract_batch_fn(
     width: int,
     config_kwargs: dict,
@@ -231,22 +270,26 @@ def extract_links(
     repartition: str = "salted",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
+    outlier_bytes: int | None = 1 << 20,
 ) -> DataFrame:
     """Crawl-graph edges of the MAIN content: (url, ordinal, href, anchor)
     — chrome/nav/footer links are dropped by the same strip+score pass as
     extract_pages, so the edge list is content-to-content (what a link-
     graph quality signal like a PageRank-ish prior wants; boilerplate
     edges are exactly the noise).  Variable rows per input page; salted
-    url-hash partitioning matches the rest of the tier."""
+    url-hash partitioning and the oversized-outlier lane match the rest
+    of the tier."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
-    pages = df.select("url", "html")
-    if repartition == "salted":
-        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(
+    return _with_outlier_lane(
+        df,
+        df.select("url", "html"),
         _links_batch_fn(config_kwargs or {}, charset_sniff, charset_fallback),
         LINKS_SCHEMA,
+        num_partitions,
+        salt,
+        repartition,
+        outlier_bytes,
     )
 
 
@@ -311,6 +354,7 @@ def page_metadata_pages(
     repartition: str = "salted",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
+    outlier_bytes: int | None = 1 << 20,
 ) -> DataFrame:
     """Head-metadata extraction: (url, title, description, lang_attr,
     canonical, og_title, error).  The canonical url is the dedup key a
@@ -318,12 +362,15 @@ def page_metadata_pages(
     language *claim* to audit lang_id's measurement against."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
-    pages = df.select("url", "html")
-    if repartition == "salted":
-        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(
-        _meta_batch_fn(xml_mode, charset_sniff, charset_fallback), META_SCHEMA
+    return _with_outlier_lane(
+        df,
+        df.select("url", "html"),
+        _meta_batch_fn(xml_mode, charset_sniff, charset_fallback),
+        META_SCHEMA,
+        num_partitions,
+        salt,
+        repartition,
+        outlier_bytes,
     )
 
 
@@ -457,24 +504,28 @@ def extract_pages_full(
     repartition: str = "salted",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
+    outlier_bytes: int | None = 1 << 20,
 ) -> DataFrame:
     """One-parse fusion of extract_pages + extract_links + page_metadata:
     (url, text, error, sizes, scoring lineage, links_json, head
     metadata).  A curation pipeline that consumes all three must not
     parse every page three times — at crawl scale the parse is ~25% of
     the kernel, so the fusion saves ~½ of a full extra pass.  Plan shape
-    matches the tier: pruned scan → salted repartition → one
-    mapInPandas.  charset_sniff=True adds the WHATWG sniff + (encoding,
-    encoding_source) lineage, same contract as extract_pages."""
+    matches the tier: pruned scan → salted repartition → one mapInPandas
+    with the oversized-outlier lane.  charset_sniff=True adds the WHATWG
+    sniff + (encoding, encoding_source) lineage, same contract as
+    extract_pages."""
     if repartition not in ("salted", "none"):
         raise ValueError(f"repartition must be 'salted' or 'none', got {repartition!r}")
-    pages = df.select("url", "html")
-    if repartition == "salted":
-        n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        pages = pages.repartition(int(n), F.xxhash64(F.col("url"), F.lit(salt)))
-    return pages.mapInPandas(
+    return _with_outlier_lane(
+        df,
+        df.select("url", "html"),
         _full_batch_fn(width, config_kwargs or {}, charset_sniff, charset_fallback),
         FULL_SNIFF_SCHEMA if charset_sniff else FULL_SCHEMA,
+        num_partitions,
+        salt,
+        repartition,
+        outlier_bytes,
     )
 
 
@@ -517,31 +568,10 @@ def extract_pages(
             )
         cols.append(charset_col)
     pages = df.select(*cols)
-    if outlier_bytes is not None:
-        # coalesce: NULL html must land in the normal lane (→ a NullInput
-        # error row), not silently vanish from both filter branches
-        pages = pages.withColumn(
-            "_oversized",
-            F.coalesce(F.length("html") > outlier_bytes, F.lit(False)),
-        )
-        normal = pages.filter(~F.col("_oversized")).drop("_oversized")
-        oversized = pages.filter(F.col("_oversized")).drop("_oversized")
-    else:
-        normal = pages
-        oversized = None
-
-    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    n = int(n)
-    key = F.xxhash64(F.col("url"), F.lit(salt))
-    if repartition == "salted":
-        normal = normal.repartition(n, key)
-
     fn = _extract_batch_fn(
         width, config_kwargs or {}, charset_sniff, charset_fallback, charset_col
     )
     schema = EXTRACT_SNIFF_SCHEMA if charset_sniff else EXTRACT_SCHEMA
-    out = normal.mapInPandas(fn, schema)
-    if oversized is not None:
-        oversized = oversized.repartition(n, key)
-        out = out.unionByName(oversized.mapInPandas(fn, schema))
-    return out
+    return _with_outlier_lane(
+        df, pages, fn, schema, num_partitions, salt, repartition, outlier_bytes
+    )
