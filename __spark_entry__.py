@@ -194,7 +194,13 @@ def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus carries a non-matching `other-bot` group that must be
     skipped), then longest-match-wins / allow-wins-ties per edge via a
     host-keyed join with codegen LIKE matching.  Edges with no
-    governing rule stay allowed."""
+    governing rule stay allowed.
+
+    Note: the synthetic robots corpus is derived FROM the frontier's
+    host set, so this query computes the frontier twice (once as gate
+    input, once for the distinct hosts).  In production robots_df comes
+    from fetched robots.txt records, not from the frontier — the gate
+    itself is single-pass."""
     from rust_html2text_spark.functions.robots import (
         frontier_allowed,
         robots_rules,
