@@ -213,6 +213,18 @@ def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_allowed(edges, rules)
 
 
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness schedule over the robots-gated frontier: blocked edges
+    dropped, duplicate targets collapsed, then per-host fetch waves
+    (≤2 fetches per host per wave) via one host-keyed window."""
+    from rust_html2text_spark.functions.robots import frontier_schedule
+
+    gated = q_robots_frontier(spark, sf_dir)
+    return frontier_schedule(
+        gated.filter(F.col("allowed")), per_host_per_wave=2
+    )
+
+
 def q_mixed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-payload routing: one binary payload column (HTML for even
     doc_ids, PDF for odd), magic-byte sniffed and routed to the right
@@ -943,6 +955,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
+        # not a fold — a companion op registered after the gate filled:
+        # locally verified with the same full compare
+        "frontier_schedule": q_frontier_schedule,
     }
 
 
@@ -1222,9 +1237,24 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    frontier_schedule_sql = f"""
+        WITH gated AS ({robots_frontier_sql}),
+        ded AS (
+            SELECT target, min(url) AS via_url, min(kind) AS kind
+            FROM gated WHERE allowed GROUP BY target
+        )
+        SELECT regexp_extract(target, '{host_re}', 1) AS host,
+               target, via_url, kind,
+               CAST(floor((row_number() OVER (
+                   PARTITION BY regexp_extract(target, '{host_re}', 1)
+                   ORDER BY target) - 1) / 2) AS BIGINT) AS fetch_wave
+        FROM ded
+    """
+
     return {
         "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
         "robots_frontier": robots_frontier_sql,
+        "frontier_schedule": frontier_schedule_sql,
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "

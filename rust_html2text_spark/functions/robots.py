@@ -199,3 +199,42 @@ def frontier_allowed(
         F.coalesce(F.col("_best.allow") == 1, F.lit(True)).alias("allowed"),
         F.col("_best.pattern").alias("matched_rule"),
     )
+
+
+def frontier_schedule(
+    edges: DataFrame,
+    per_host_per_wave: int = 1,
+    target_col: str = "target",
+) -> DataFrame:
+    """Politeness scheduling for gated frontier edges: assign each edge a
+    `fetch_wave` so that no host is hit more than `per_host_per_wave`
+    times per wave — the crawler fetches wave 0, waits its per-host
+    delay, fetches wave 1, and so on.  Deterministic: edges order by
+    (target, url) within their host, duplicates collapse first (fetching
+    a URL twice in one crawl is wasted politeness budget).
+
+    Scale shape: one hash-partitioned window keyed by host — the same
+    key the robots gate and any per-host rate limiter shuffle on, so
+    with `repartition` reuse the three stages share one exchange."""
+    from pyspark.sql import Window
+
+    if per_host_per_wave < 1:
+        raise ValueError("per_host_per_wave must be >= 1")
+    host = F.regexp_extract(F.col(target_col), HOST_RE, 1)
+    deduped = edges.select(
+        F.col(target_col).alias("target"),
+        "url",
+        "kind",
+    ).groupBy("target").agg(
+        F.min("url").alias("via_url"), F.min("kind").alias("kind")
+    )
+    w = Window.partitionBy(host).orderBy("target")
+    return deduped.select(
+        host.alias("host"),
+        "target",
+        "via_url",
+        "kind",
+        F.floor(
+            (F.row_number().over(w) - F.lit(1)) / F.lit(per_host_per_wave)
+        ).alias("fetch_wave"),
+    )

@@ -183,3 +183,40 @@ def test_gate_matches_scalar_parser_on_corpus(spark):
             want_allowed,
             want_rule,
         ), r["target"]
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    """No host appears more than per_host_per_wave times in any wave,
+    waves are dense per host (0..max with full occupancy below max),
+    duplicate targets collapse, and ordering is deterministic."""
+    from rust_html2text_spark.functions.robots import frontier_schedule
+
+    edges = spark.createDataFrame(
+        [
+            ("u1", f"https://h{i % 3}.example/p{i}", "html")
+            for i in range(17)
+        ]
+        + [("u2", "https://h0.example/p0", "pdf")],  # duplicate target
+        "url string, target string, kind string",
+    )
+    got = frontier_schedule(edges, per_host_per_wave=2).collect()
+    # duplicate target collapsed (kind = min -> 'html')
+    assert len(got) == 17
+    by_target = {r["target"]: r for r in got}
+    assert by_target["https://h0.example/p0"]["kind"] == "html"
+    from collections import Counter
+
+    per_wave = Counter((r["host"], r["fetch_wave"]) for r in got)
+    assert max(per_wave.values()) <= 2
+    for host in {r["host"] for r in got}:
+        waves = sorted(
+            r["fetch_wave"] for r in got if r["host"] == host
+        )
+        # dense: floor((rank-1)/2) over consecutive ranks
+        assert waves == [i // 2 for i in range(len(waves))]
+    # deterministic
+    again = frontier_schedule(edges, per_host_per_wave=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    with pytest.raises(ValueError):
+        frontier_schedule(edges, per_host_per_wave=0)
