@@ -393,6 +393,72 @@ fx(
 )
 
 
+fx(
+    "rtl-arabic-article",
+    f"""<html dir="rtl" lang="ar"><body>
+    <nav><a href="/">الرئيسية</a> <a href="/news">الأخبار</a> <a href="/sports">الرياضة</a></nav>
+    <main><article>
+      <h1>افتتاح المكتبة الجديدة</h1>
+      <p>افتتحت البلدية المكتبة العامة الجديدة بعد ثلاث سنوات من البناء، وتضم القاعة الرئيسية أكثر من مئة ألف كتاب، إضافة إلى قاعات للدراسة والمحاضرات.</p>
+      <p>وقال مدير المكتبة إن ساعات العمل ستمتد حتى منتصف الليل خلال فترة الامتحانات، استجابة لطلبات الطلاب المتكررة في السنوات الماضية.</p>
+    </article></main>
+    <footer><p>جميع الحقوق محفوظة © 2026 — <a href="/terms">الشروط</a></p></footer>
+    </body></html>""",
+    ["أكثر من مئة ألف كتاب", "حتى منتصف الليل"],
+    ["الرياضة", "جميع الحقوق محفوظة"],
+)
+
+fx(
+    "data-table-as-main",
+    f"""<html><body>
+    <nav><a href="/">Home</a> <a href="/stats">Statistics</a></nav>
+    <div id="content"><article>
+      <h1>Quarterly rainfall by district</h1>
+      <p>Totals are station-averaged; districts with fewer than three stations, marked below, carry wider error bars.</p>
+      <table><tr><th>District</th><th>Q1</th><th>Q2</th></tr>
+      <tr><td>Northfield</td><td>122mm</td><td>88mm</td></tr>
+      <tr><td>Harborside</td><td>141mm</td><td>95mm</td></tr>
+      <tr><td>Westmoor</td><td>98mm</td><td>67mm</td></tr></table>
+      <p>Harborside's total, the highest recorded since the gauge network was rebuilt, reflects two single-day storms rather than a wetter season overall.</p>
+    </article></div>
+    <aside class="widget"><h4>Weather widget</h4><p>Download our app for live radar and alerts on your phone!</p></aside>
+    </body></html>""",
+    ["station-averaged", "Harborside", "two single-day storms"],
+    ["live radar and alerts"],
+)
+
+fx(
+    "amp-style-page",
+    f"""<html amp><body>
+    <header class="amp-header"><button on="tap:sidebar.toggle">☰</button><span>The Wire</span></header>
+    <amp-sidebar id="sidebar" layout="nodisplay"><ul><li><a href="/a">Section A</a></li><li><a href="/b">Section B</a></li><li><a href="/c">Section C</a></li></ul></amp-sidebar>
+    <main><article>
+      <h1>Ferry service resumes</h1>
+      <p>{PROSE}</p>
+      <p>{PROSE3}</p>
+    </article></main>
+    <div class="amp-consent"><p>This site uses device storage as described in our policy. Tap to consent.</p></div>
+    </body></html>""",
+    [PROSE, PROSE3],
+    ["Section B", "Tap to consent"],
+)
+
+fx(
+    "print-view-with-dialog-chrome",
+    f"""<html><body>
+    <div class="print-toolbar"><button>Print</button><button>Save as PDF</button><label><input type="checkbox">Include images</label></div>
+    <div class="print-body"><article>
+      <h1>Maintenance bulletin 47</h1>
+      <p>{PROSE2}</p>
+      <p>{PROSE}</p>
+    </article></div>
+    <div class="print-footer">Printed from example.com — page 1 of 1 — this copy is for personal use only.</div>
+    </body></html>""",
+    [PROSE2, PROSE],
+    ["Save as PDF", "personal use only"],
+)
+
+
 def _score(name, html, main_blocks, junk_blocks):
     text = extract_main(html.encode("utf-8"), 100)
     flat = " ".join(text.split())
@@ -411,7 +477,7 @@ def _score(name, html, main_blocks, junk_blocks):
 
 
 def test_eval_set_shape():
-    assert len(FIXTURES) >= 20
+    assert len(FIXTURES) >= 24
     names = [f[0] for f in FIXTURES]
     assert len(set(names)) == len(names)
 
