@@ -188,40 +188,64 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_edges.unionByName(pdf_edges)
 
 
+def _frontier_and_robots(spark: SparkSession, sf_dir: str):
+    """(edges, robots corpus) with the frontier computed ONCE: the
+    synthetic robots corpus is derived FROM the frontier's host set, so
+    without a barrier every consumer would compute the frontier twice.
+    `localCheckpoint(eager=True)` materializes the (tiny: one row per
+    edge) frontier a single time; both the gate input and the host
+    derivation read the checkpointed partitions.  In production
+    robots_df comes from fetched robots.txt records and no barrier is
+    needed — the gate itself is single-pass."""
+    from rust_html2text_spark.sources.corpus import robots_for_frontier
+
+    edges = q_crawl_frontier(spark, sf_dir).localCheckpoint(eager=True)
+    return edges, robots_for_frontier(edges)
+
+
 def q_robots_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl frontier gated through per-host robots.txt (RFC 9309):
     rules parse once per host (named-group selection exercised — the
-    corpus carries a non-matching `other-bot` group that must be
-    skipped), then longest-match-wins / allow-wins-ties per edge via a
-    host-keyed join with codegen LIKE matching.  Edges with no
-    governing rule stay allowed.
-
-    Note: the synthetic robots corpus is derived FROM the frontier's
-    host set, so this query computes the frontier twice (once as gate
-    input, once for the distinct hosts).  In production robots_df comes
-    from fetched robots.txt records, not from the frontier — the gate
-    itself is single-pass."""
+    corpus carries a non-matching `other-bot` group AND a `spark-graft`
+    group that is a prefix of our token, both of which exact §2.2.1
+    token matching must skip), then longest-match-wins /
+    allow-wins-ties per edge via a host-keyed join with codegen LIKE
+    matching against path+query.  Edges with no governing rule stay
+    allowed."""
     from rust_html2text_spark.functions.robots import (
         frontier_allowed,
         robots_rules,
     )
-    from rust_html2text_spark.sources.corpus import robots_for_frontier
 
-    edges = q_crawl_frontier(spark, sf_dir)
-    robots = robots_for_frontier(edges)
+    edges, robots = _frontier_and_robots(spark, sf_dir)
     rules = robots_rules(robots, agent="spark-graft-bot")
     return frontier_allowed(edges, rules)
 
 
 def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness schedule over the robots-gated frontier: blocked edges
-    dropped, duplicate targets collapsed, then per-host fetch waves
-    (≤2 fetches per host per wave) via one host-keyed window."""
-    from rust_html2text_spark.functions.robots import frontier_schedule
+    dropped, sitemap URLs declared by each host's robots.txt joined in
+    as `kind='sitemap'` edges, duplicate targets collapsed, then
+    per-host fetch waves (≤2 fetches per host per wave) via one
+    host-keyed window, each wave spaced by the host's `Crawl-delay`
+    (default 1 s) into `fetch_at_secs`."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        frontier_schedule,
+        robots_host_policy,
+        robots_rules,
+        sitemap_edges,
+    )
 
-    gated = q_robots_frontier(spark, sf_dir)
+    edges, robots = _frontier_and_robots(spark, sf_dir)
+    gated = frontier_allowed(
+        edges, robots_rules(robots, agent="spark-graft-bot")
+    )
+    policy = robots_host_policy(robots, agent="spark-graft-bot")
+    allowed = gated.filter(F.col("allowed")).select("url", "target", "kind")
+    all_edges = allowed.unionByName(sitemap_edges(policy))
     return frontier_schedule(
-        gated.filter(F.col("allowed")), per_host_per_wave=2
+        all_edges, per_host_per_wave=2, host_policy=policy
     )
 
 
@@ -886,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_links": q_pdf_links,
         "crawl_frontier": q_crawl_frontier,
         "robots_frontier": q_robots_frontier,
+        "frontier_schedule": q_frontier_schedule,
         "mixed_extract": q_mixed_extract,
         "render_error_counts": q_render_error_counts,
         "render_rich_spans": q_render_rich_spans,
@@ -914,7 +939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
-        "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
         "bloom_new_urls": q_bloom_new_urls,
         "pack_sequences": q_pack_sequences,
@@ -944,7 +968,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       token_count         ⊂ quality_score (same tokenizer; n_tokens and
                             n_chars are in its gated output — only the
                             BPE-ish pre-token count column is unique,
-                            and it stays extras-verified).
+                            and it stays extras-verified);
+      events_by_type      — folded in round 6 to make room for
+                            frontier_schedule in the gate: a plain
+                            groupBy-count over the TPC-ish events table,
+                            the same agg shape user_sessions (gated)
+                            exercises with a window on top.
     All stay fully verified locally: scripts/check_oracles.py and
     tests/test_oracles.py run them against the same DuckDB oracles."""
     return {
@@ -955,9 +984,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
-        # not a fold — a companion op registered after the gate filled:
-        # locally verified with the same full compare
-        "frontier_schedule": q_frontier_schedule,
+        "events_by_type": q_events_by_type,
     }
 
 
@@ -1193,18 +1220,25 @@ def oracle_sql() -> dict[str, str]:
 
     # DuckDB replica of the robots gate: the SAME deterministic per-host
     # rule set sources/corpus.robots_txt_for_host emits (for agent
-    # 'spark-graft-bot' the '*' group governs), longest-match via a
-    # struct max exactly like functions/robots.frontier_allowed.
+    # 'spark-graft-bot' the '*' group governs — the `other-bot` and
+    # prefix-trap `spark-graft` groups must be skipped under exact
+    # token matching), longest-match via a struct max exactly like
+    # functions/robots.frontier_allowed.  Matching is against
+    # path+query (fragment stripped), per RFC 9309.
     host_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
-    path_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^?#]*)"
+    path_re = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]+([^#]*)"
+    path_case = (
+        f"CASE WHEN regexp_extract(target, '{path_re}', 1) = '' THEN '/' "
+        f"WHEN regexp_extract(target, '{path_re}', 1) NOT LIKE '/%' "
+        f"THEN '/' || regexp_extract(target, '{path_re}', 1) "
+        f"ELSE regexp_extract(target, '{path_re}', 1) END"
+    )
     robots_frontier_sql = f"""
         WITH edges AS ({frontier_sql}),
         e AS (
             SELECT row_number() OVER () AS eid, url, target, kind,
                    regexp_extract(target, '{host_re}', 1) AS host,
-                   CASE WHEN regexp_extract(target, '{path_re}', 1) = ''
-                        THEN '/' ELSE regexp_extract(target, '{path_re}', 1)
-                   END AS path
+                   {path_case} AS path
             FROM edges
         ),
         hosts AS (SELECT DISTINCT host FROM e),
@@ -1213,6 +1247,8 @@ def oracle_sql() -> dict[str, str]:
                    4 AS plen, 0 AS allow FROM hosts
             UNION ALL SELECT host, '/login', '/login%', 6, 0 FROM hosts
             UNION ALL SELECT host, '/up/open', '/up/open%', 8, 1 FROM hosts
+            UNION ALL SELECT host, '/search?', '/search?%', 8, 0 FROM hosts
+            UNION ALL SELECT host, '/*?sid=', '/%?sid=%', 7, 0 FROM hosts
             UNION ALL SELECT host, '/pdf/*3$', '/pdf/%3', 8, 0 FROM hosts
                 WHERE host LIKE 'www.%'
             UNION ALL SELECT host, '/rel/', '/rel/%', 5, 0 FROM hosts
@@ -1237,18 +1273,43 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    # schedule replica: allowed edges + per-host sitemap edges (every
+    # corpus host declares https://<host>/sitemap.xml), dense 2-per-wave
+    # windows per host, waves spaced by the host's Crawl-delay (the
+    # corpus gives even-length hosts `Crawl-delay: 2`; default 1 s).
     frontier_schedule_sql = f"""
         WITH gated AS ({robots_frontier_sql}),
+        allowed AS (SELECT url, target, kind FROM gated WHERE allowed),
+        hosts AS (
+            SELECT DISTINCT regexp_extract(target, '{host_re}', 1) AS host
+            FROM gated
+        ),
+        smap AS (
+            SELECT 'https://' || host || '/robots.txt' AS url,
+                   'https://' || host || '/sitemap.xml' AS target,
+                   'sitemap' AS kind
+            FROM hosts
+        ),
+        alledges AS (
+            SELECT * FROM allowed UNION ALL SELECT * FROM smap
+        ),
         ded AS (
             SELECT target, min(url) AS via_url, min(kind) AS kind
-            FROM gated WHERE allowed GROUP BY target
+            FROM alledges GROUP BY target
+        ),
+        waved AS (
+            SELECT regexp_extract(target, '{host_re}', 1) AS host,
+                   target, via_url, kind,
+                   CAST(floor((row_number() OVER (
+                       PARTITION BY regexp_extract(target, '{host_re}', 1)
+                       ORDER BY target) - 1) / 2) AS BIGINT) AS fetch_wave
+            FROM ded
         )
-        SELECT regexp_extract(target, '{host_re}', 1) AS host,
-               target, via_url, kind,
-               CAST(floor((row_number() OVER (
-                   PARTITION BY regexp_extract(target, '{host_re}', 1)
-                   ORDER BY target) - 1) / 2) AS BIGINT) AS fetch_wave
-        FROM ded
+        SELECT host, target, via_url, kind, fetch_wave,
+               fetch_wave * (CASE WHEN length(host) % 2 = 0
+                             THEN CAST(2.0 AS DOUBLE)
+                             ELSE CAST(1.0 AS DOUBLE) END) AS fetch_at_secs
+        FROM waved
     """
 
     return {

@@ -191,7 +191,12 @@ def chrome_pages_from_documents(docs: DataFrame) -> DataFrame:
         did,
         F.lit('">archive copy</a>, a <a href="//cdn.example.org/r/'),
         did,
-        F.lit('">mirror</a>, the <a href="#comments">comments</a> below, '),
+        F.lit('">mirror</a>, a <a href="/search?q=doc+'),
+        did,
+        F.lit('">site search</a>, the <a href="/doc/'),
+        did,
+        F.lit('?sid=ref">stable link</a>, '),
+        F.lit('the <a href="#comments">comments</a> below, '),
         F.lit('and <a href="mailto:editor@'),
         F.col("source"),
         F.lit('.example.com">the editor</a>.</p>'),
@@ -256,6 +261,8 @@ def synthesize_chrome_page_py(
         f'a list of <a href="/rel/{doc_id}">related articles</a>, '
         f'the <a href="../up/{doc_id}">archive copy</a>, '
         f'a <a href="//cdn.example.org/r/{doc_id}">mirror</a>, '
+        f'a <a href="/search?q=doc+{doc_id}">site search</a>, '
+        f'the <a href="/doc/{doc_id}?sid=ref">stable link</a>, '
         f'the <a href="#comments">comments</a> below, '
         f'and <a href="mailto:editor@{source}.example.com">the editor</a>.</p>'
         f"</article></div>"
@@ -367,24 +374,36 @@ def charset_pages_from_documents(docs: DataFrame) -> DataFrame:
 def robots_txt_for_host(host: str) -> str:
     """Deterministic robots.txt for a corpus host, exercising the RFC
     9309 surface: a non-matching named group (must be skipped for any
-    other product token), prefix rules, a longer Allow override, a
-    `$`-anchored wildcard (www hosts only), and host-conditional rules
-    (even-length hosts)."""
+    other product token), a PREFIX-of-our-token group (`spark-graft` —
+    must be skipped under §2.2.1 exact token matching; a prefix matcher
+    would wrongly let it govern `spark-graft-bot` and block everything),
+    prefix rules, a longer Allow override, query-string rules (matching
+    is against path+query), a `$`-anchored wildcard (www hosts only),
+    host-conditional rules (even-length hosts), a `Crawl-delay` for
+    even-length hosts, and a host-wide `Sitemap` line."""
     lines = [
         "# synthetic robots corpus",
         "User-agent: other-bot",
+        "Disallow: /",
+        "",
+        "User-agent: spark-graft",
         "Disallow: /",
         "",
         "User-agent: *",
         "Disallow: /up/",
         "Disallow: /login",
         "Allow: /up/open",
+        "Disallow: /search?",
+        "Disallow: /*?sid=",
     ]
     if host.startswith("www."):
         lines.append("Disallow: /pdf/*3$")
     if len(host) % 2 == 0:
         lines.append("Disallow: /rel/")
         lines.append("Allow: /rel/2")
+        lines.append("Crawl-delay: 2")
+    lines.append("")
+    lines.append(f"Sitemap: https://{host}/sitemap.xml")
     return "\n".join(lines) + "\n"
 
 

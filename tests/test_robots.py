@@ -1,6 +1,9 @@
 """robots.txt frontier gate (functions/robots.py): RFC 9309 group
-selection, longest-match/allow-ties semantics, wildcard-to-LIKE
-translation, and the Spark gate's parity with the scalar parser."""
+selection (exact product-token match), longest-match/allow-ties
+semantics over path+query, §2.5 hostile-input bounds, wildcard-to-LIKE
+translation, Crawl-delay/Sitemap extensions, the politeness scheduler's
+bucketed per-host waves, and the Spark gate's parity with the scalar
+parser."""
 
 from __future__ import annotations
 
@@ -12,6 +15,7 @@ sys.path.insert(0, "/root/repo")
 
 from rust_html2text_spark.functions.robots import (  # noqa: E402
     _pattern_to_like,
+    parse_robots,
     parse_robots_rules,
 )
 
@@ -42,29 +46,46 @@ Sitemap: https://x.example/sitemap.xml
 
 User-agent: *
 Disallow: /second-star/
+Crawl-delay: 3
 """
 
+STAR_RULES = [
+    ("/private/", 0),
+    ("/private/ok", 1),
+    ("/second-star/", 0),
+]
 
-def test_group_selection_most_specific_prefix():
-    # our token starts with 'spark' -> the named group governs
-    assert parse_robots_rules(ROBOTS, "spark-graft-bot") == [("/named/", 0)]
+
+def test_group_selection_exact_token_match():
+    # RFC 9309 §2.2.1: EXACT case-insensitive token match — the 'spark'
+    # group governs token 'spark' (any case) but NOT 'spark-graft-bot'
+    assert parse_robots_rules(ROBOTS, "spark") == [("/named/", 0)]
+    assert parse_robots_rules(ROBOTS, "SPARK") == [("/named/", 0)]
+    assert parse_robots_rules(ROBOTS, "bingbot") == [("/named/", 0)]
+    # a token the named groups only prefix-match falls through to star
+    assert parse_robots_rules(ROBOTS, "spark-graft-bot") == STAR_RULES
     # unknown token -> star groups MERGE (two star groups in the file)
-    assert parse_robots_rules(ROBOTS, "otherbot") == [
-        ("/private/", 0),
-        ("/private/ok", 1),
-        ("/second-star/", 0),
-    ]
+    assert parse_robots_rules(ROBOTS, "otherbot") == STAR_RULES
     # googlebot gets its own group, not star
     assert parse_robots_rules(ROBOTS, "googlebot") == [("/google-only/", 0)]
 
 
-def test_group_selection_longest_named_match_wins():
-    txt = (
-        "User-agent: a\nDisallow: /short/\n\n"
-        "User-agent: ab\nDisallow: /long/\n\n"
-        "User-agent: *\nDisallow: /star/\n"
+def test_crawl_delay_and_sitemaps():
+    pol = parse_robots(ROBOTS, "nobody")
+    # merged star groups: most conservative (largest) delay wins
+    assert pol.crawl_delay == 10.0
+    # sitemaps are host-wide regardless of group
+    assert pol.sitemaps == ["https://x.example/sitemap.xml"]
+    assert pol.truncated is False
+    # named group has no delay of its own
+    assert parse_robots(ROBOTS, "googlebot").crawl_delay is None
+    # invalid / negative delays are ignored
+    assert (
+        parse_robots(
+            "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -4\n", "x"
+        ).crawl_delay
+        is None
     )
-    assert parse_robots_rules(txt, "abc-bot") == [("/long/", 0)]
 
 
 def test_fields_case_insensitive_and_empty_disallow():
@@ -75,6 +96,35 @@ def test_fields_case_insensitive_and_empty_disallow():
 def test_rules_before_any_group_are_ignored():
     txt = "Disallow: /orphan/\nUser-agent: *\nDisallow: /real/\n"
     assert parse_robots_rules(txt, "bot") == [("/real/", 0)]
+
+
+def test_hostile_robots_rule_cap_keeps_longest():
+    # RFC 9309 §2.5: a machine-generated robots.txt must not multiply
+    # the per-host rules x edges join — rules cap, longest kept
+    lines = ["User-agent: *"]
+    lines += [f"Disallow: /p{i}/" for i in range(100_000)]
+    lines += ["Allow: /p1/deep/specific/override"]
+    txt = "\n".join(lines) + "\n"
+    # the file itself is > 512 KiB, so byte-truncation also engages
+    assert len(txt) > 512 * 1024
+    pol = parse_robots(txt, "bot")
+    assert pol.truncated is True
+    assert len(pol.rules) <= 5000
+    # with an explicit small cap: longest patterns survive
+    pol2 = parse_robots(txt, "bot", max_bytes=None, max_rules=10)
+    assert pol2.truncated is True
+    assert len(pol2.rules) == 10
+    assert ("/p1/deep/specific/override", 1) in pol2.rules
+    assert all(len(p) >= len("/p99999/") for p, _ in pol2.rules)
+
+
+def test_byte_truncation_drops_partial_line():
+    # the clipped tail must never parse as a (wrong) shorter rule
+    txt = "User-agent: *\nDisallow: /aaaa/\nDisallow: /secret-long-path/\n"
+    cut = txt.index("/secret-long-path/") + 9  # mid-pattern
+    pol = parse_robots(txt, "bot", max_bytes=cut)
+    assert pol.truncated is True
+    assert pol.rules == [("/aaaa/", 0)]
 
 
 def test_pattern_to_like():
@@ -135,6 +185,50 @@ def test_spark_gate_longest_match_and_defaults(spark):
     assert verdict["https://c.example/x"] == (True, None)
 
 
+def test_spark_gate_matches_path_plus_query(spark):
+    """RFC 9309 matches against path?query: 'Disallow: /search?q=' style
+    rules must fire, and fragments must not defeat a match."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "q.example",
+                "User-agent: *\n"
+                "Disallow: /search?\n"
+                "Disallow: /*?sid=\n"
+                "Disallow: /frag\n",
+            ),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots, agent="bot")
+    edges = spark.createDataFrame(
+        [
+            ("u", "https://q.example/search?q=x", "html"),     # query rule
+            ("u", "https://q.example/search", "html"),         # no '?': allowed
+            ("u", "https://q.example/doc/1?sid=abc", "html"),  # wildcard query
+            ("u", "https://q.example/doc/1?id=abc", "html"),   # allowed
+            ("u", "https://q.example/frag#sid=abc", "html"),   # fragment strip
+            ("u", "https://q.example/x#/frag", "html"),        # frag not path
+            ("u", "https://q.example?sid=1", "html"),          # no path: /?sid=
+        ],
+        "url string, target string, kind string",
+    )
+    got = {r["target"]: (r["allowed"], r["matched_rule"])
+           for r in frontier_allowed(edges, rules).collect()}
+    assert got["https://q.example/search?q=x"] == (False, "/search?")
+    assert got["https://q.example/search"] == (True, None)
+    assert got["https://q.example/doc/1?sid=abc"] == (False, "/*?sid=")
+    assert got["https://q.example/doc/1?id=abc"] == (True, None)
+    assert got["https://q.example/frag#sid=abc"] == (False, "/frag")
+    assert got["https://q.example/x#/frag"] == (True, None)
+    assert got["https://q.example?sid=1"] == (False, "/*?sid=")
+
+
 def test_gate_matches_scalar_parser_on_corpus(spark):
     """Spark gate verdicts == per-edge scalar evaluation with the same
     parsed rules (the oracle-independent parity check)."""
@@ -157,10 +251,16 @@ def test_gate_matches_scalar_parser_on_corpus(spark):
     robots = robots_for_frontier(edges)
     got = frontier_allowed(edges, robots_rules(robots, agent="x-bot")).collect()
     assert len(got) > 100
+    # the corpus query lanes must actually fire in the sample
+    assert any(not r["allowed"] and "?" in r["target"] for r in got)
 
     def scalar(target):
         host = re.match(HOST_RE, target).group(1)
-        path = re.match(PATH_RE, target).group(1) or "/"
+        path = re.match(PATH_RE, target).group(1)
+        if not path:
+            path = "/"
+        elif not path.startswith("/"):
+            path = "/" + path
         best = None
         for pattern, allow in parse_robots_rules(
             robots_txt_for_host(host), "x-bot"
@@ -188,7 +288,8 @@ def test_gate_matches_scalar_parser_on_corpus(spark):
 def test_frontier_schedule_politeness_invariants(spark):
     """No host appears more than per_host_per_wave times in any wave,
     waves are dense per host (0..max with full occupancy below max),
-    duplicate targets collapse, and ordering is deterministic."""
+    duplicate targets collapse, default 1 s delay spaces fetch_at_secs,
+    and ordering is deterministic."""
     from rust_html2text_spark.functions.robots import frontier_schedule
 
     edges = spark.createDataFrame(
@@ -214,9 +315,99 @@ def test_frontier_schedule_politeness_invariants(spark):
         )
         # dense: floor((rank-1)/2) over consecutive ranks
         assert waves == [i // 2 for i in range(len(waves))]
+    # no policy given -> default delay of 1 s per wave
+    assert all(r["fetch_at_secs"] == float(r["fetch_wave"]) for r in got)
     # deterministic
     again = frontier_schedule(edges, per_host_per_wave=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
     with pytest.raises(ValueError):
         frontier_schedule(edges, per_host_per_wave=0)
+    with pytest.raises(ValueError):
+        frontier_schedule(edges, host_buckets=0)
+
+
+def test_frontier_schedule_bucketed_mega_host(spark):
+    """host_buckets=W bounds the per-host sort: the ≤k-per-host-per-wave
+    invariant must hold, waves inflate by at most W (occupancy stays
+    ≥ 1/W of dense), and the assignment is deterministic."""
+    from collections import Counter
+
+    from rust_html2text_spark.functions.robots import frontier_schedule
+
+    n, k, w = 3000, 2, 8
+    edges = spark.createDataFrame(
+        [("u", f"https://mega.example/p{i:05d}", "html") for i in range(n)]
+        + [("u", f"https://tiny.example/p{i}", "html") for i in range(3)],
+        "url string, target string, kind string",
+    )
+    got = frontier_schedule(
+        edges, per_host_per_wave=k, host_buckets=w
+    ).collect()
+    assert len(got) == n + 3
+    per_wave = Counter((r["host"], r["fetch_wave"]) for r in got)
+    # politeness invariant survives bucketing
+    assert max(per_wave.values()) <= k
+    mega_waves = [r["fetch_wave"] for r in got if r["host"] == "mega.example"]
+    # wave count inflates by at most W vs the dense ceil(n/k) schedule
+    assert max(mega_waves) + 1 <= (n + k - 1) // k * w
+    # every bucket residue appears (the sort really is W-way parallel)
+    assert {wv % w for wv in mega_waves} == set(range(w))
+    # deterministic across runs
+    again = frontier_schedule(
+        edges, per_host_per_wave=k, host_buckets=w
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_frontier_schedule_crawl_delay_and_sitemaps(spark):
+    """host_policy wires Crawl-delay into fetch_at_secs and sitemap_edges
+    turns Sitemap lines into kind='sitemap' frontier rows."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_schedule,
+        robots_host_policy,
+        sitemap_edges,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example",
+             "User-agent: *\nCrawl-delay: 5\n"
+             "Sitemap: https://slow.example/sm1.xml\n"
+             "Sitemap: https://slow.example/sm2.xml\n"),
+            ("fast.example", "User-agent: *\nDisallow: /x/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    policy = robots_host_policy(robots, agent="bot")
+    pol = {r["host"]: r for r in policy.collect()}
+    assert pol["slow.example"]["crawl_delay"] == 5.0
+    assert list(pol["slow.example"]["sitemaps"]) == [
+        "https://slow.example/sm1.xml",
+        "https://slow.example/sm2.xml",
+    ]
+    assert pol["fast.example"]["crawl_delay"] is None
+    assert pol["fast.example"]["rules_truncated"] is False
+    assert pol["fast.example"]["n_rules"] == 1
+
+    sm = sitemap_edges(policy).collect()
+    assert {(r["url"], r["target"], r["kind"]) for r in sm} == {
+        ("https://slow.example/robots.txt",
+         "https://slow.example/sm1.xml", "sitemap"),
+        ("https://slow.example/robots.txt",
+         "https://slow.example/sm2.xml", "sitemap"),
+    }
+
+    edges = spark.createDataFrame(
+        [("u", f"https://slow.example/p{i}", "html") for i in range(4)]
+        + [("u", f"https://fast.example/p{i}", "html") for i in range(4)]
+        + [("u", f"https://nobody.example/p{i}", "html") for i in range(2)],
+        "url string, target string, kind string",
+    )
+    got = frontier_schedule(
+        edges, per_host_per_wave=2, host_policy=policy,
+        default_delay_secs=1.0,
+    ).collect()
+    for r in got:
+        delay = {"slow.example": 5.0}.get(r["host"], 1.0)
+        assert r["fetch_at_secs"] == r["fetch_wave"] * delay, r
