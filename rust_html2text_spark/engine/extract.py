@@ -50,6 +50,7 @@ _NEGATIVE_RE = re.compile(
     r"banner|boilerplate|breadcrumb|combx|comment|community|cookie|disqus|"
     r"extra|foot|masthead|menu|modal|nav|popup|promo|related|remark|rss|"
     r"share|shoutbox|sidebar|skyscraper|social|sponsor|widget|advert|"
+    r"repl(?:y|ies)|gdpr|agegate|pag(?:er|ination)|supplemental|"
     r"\bad\b|ad-",
     re.IGNORECASE,
 )
@@ -107,7 +108,10 @@ def _subtree_stats(root: DomNode, memo: dict) -> tuple[int, int, int]:
     if root.kind == "text":
         t = root.text or ""
         chars = sum(len(w) for w in t.split())
-        out = (chars, 0, t.count(","))
+        # comma signal covers the CJK clause separators too (U+FF0C
+        # full-width comma, U+3001 ideographic comma) — ASCII-only
+        # counting starves CJK prose of its strongest prose signal
+        out = (chars, 0, t.count(",") + t.count("，") + t.count("、"))
     else:
         chars = links = commas = 0
         for child in root.children:

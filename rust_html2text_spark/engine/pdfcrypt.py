@@ -5,16 +5,19 @@ A meaningful share of crawled PDFs are "encrypted" with the standard
 handler and an EMPTY user password — readable by every viewer, the
 encryption only enforcing owner permissions.  A crawl extractor should
 read those and reserve the error for genuinely password-protected
-documents.  Supported: /R 2-4 with RC4-40..128 (/V 1-2, /V 4 CFM /V2)
-and AES-128-CBC (/V 4 CFM /AESV2).  /R 5-6 (AES-256) and non-Standard
-filters raise PdfError — out of scope, detect-and-skip.
+documents.  Supported: /R 2-4 with RC4-40..128 (/V 1-2, /V 4 CFM /V2),
+AES-128-CBC (/V 4 CFM /AESV2), and AES-256 (/V 5, /R 5-6 per ISO
+32000-2 §7.6.4 — both the empty USER and empty OWNER password shapes).
+Non-Standard filters raise PdfError — detect-and-skip.
 
-Everything here is derived from the published spec (key derivation
-Algorithms 2-5 in §7.6.3.3-4, RC4 as in its public description, AES-128
-from FIPS-197).  AES block decryption is numpy-vectorized across a
-stream's blocks (CBC decryption parallelizes; only CBC *encryption*
-chains), with a scalar fallback; the writer side (sources/pdfcorpus)
-uses the sequential scalar cipher.
+Everything here is derived from the published specs (ISO 32000-1 key
+derivation Algorithms 2-5 in §7.6.3.3-4, ISO 32000-2 Algorithms
+2.A/2.B/11/12 in §7.6.4, RC4 as in its public description, AES from
+FIPS-197 — the key schedule generalizes over Nk for 128/256-bit keys).
+AES block decryption is numpy-vectorized across a stream's blocks (CBC
+decryption parallelizes; only CBC *encryption* chains), with a scalar
+fallback; the writer side (sources/pdfcorpus) uses the sequential
+scalar cipher.
 """
 
 from __future__ import annotations
@@ -125,19 +128,29 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """Round keys as 11 × 16-byte blocks (AES-128)."""
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for r in range(10):
+    """Round keys as (Nr+1) × 16-byte blocks — FIPS-197 key schedule for
+    AES-128 (Nk=4, Nr=10) and AES-256 (Nk=8, Nr=14)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise PdfError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
+    while len(words) < 4 * (nr + 1):
         w = words[-1]
-        rot = bytes(_SBOX[b] for b in w[1:] + w[:1])
-        w0 = bytes(
-            a ^ b ^ (_RCON[r] if i == 0 else 0)
-            for i, (a, b) in enumerate(zip(words[-4], rot))
-        )
-        words.append(w0)
-        for _ in range(3):
-            words.append(bytes(a ^ b for a, b in zip(words[-4], words[-1])))
-    return [b"".join(words[i : i + 4]) for i in range(0, 44, 4)]
+        if len(words) % nk == 0:
+            rot = bytes(_SBOX[b] for b in w[1:] + w[:1])
+            rcon = _RCON[len(words) // nk - 1]
+            w = bytes(
+                a ^ b ^ (rcon if i == 0 else 0)
+                for i, (a, b) in enumerate(zip(words[-nk], rot))
+            )
+        elif nk == 8 and len(words) % nk == 4:
+            sub = bytes(_SBOX[b] for b in w)
+            w = bytes(a ^ b for a, b in zip(words[-nk], sub))
+        else:
+            w = bytes(a ^ b for a, b in zip(words[-nk], w))
+        words.append(w)
+    return [b"".join(words[i : i + 4]) for i in range(0, 4 * (nr + 1), 4)]
 
 
 _SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
@@ -167,9 +180,10 @@ def _rk_words(rk: list[bytes]) -> list[list[int]]:
 
 def _encrypt_block_words(w0: int, w1: int, w2: int, w3: int, rkw) -> tuple:
     t0, t1, t2, t3 = _TE0, _TE1, _TE2, _TE3
+    nr = len(rkw) - 1
     k = rkw[0]
     s0, s1, s2, s3 = w0 ^ k[0], w1 ^ k[1], w2 ^ k[2], w3 ^ k[3]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         k = rkw[rnd]
         u0 = (
             t0[s0 >> 24]
@@ -201,7 +215,7 @@ def _encrypt_block_words(w0: int, w1: int, w2: int, w3: int, rkw) -> tuple:
         )
         s0, s1, s2, s3 = u0, u1, u2, u3
     sb = _SBOX
-    k = rkw[10]
+    k = rkw[nr]
     r0 = (
         (sb[s0 >> 24] << 24)
         | (sb[(s1 >> 16) & 0xFF] << 16)
@@ -236,9 +250,10 @@ def _encrypt_block(block: bytes, rk: list[bytes]) -> bytes:
 
 
 def _decrypt_block(block: bytes, rk: list[bytes]) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rk[10]))
+    nr = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[nr]))
     m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         s = bytes(_INV_SBOX[s[i]] for i in _INV_SHIFT)
         s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
         mixed = bytearray(16)
@@ -264,8 +279,9 @@ def _ecb_decrypt_np(blocks: bytes, rk: list[bytes]):
     mul = {k: np.frombuffer(v, dtype=np.uint8) for k, v in _MUL.items()}
     inv_shift = np.array(_INV_SHIFT)
     rks = [np.frombuffer(k, dtype=np.uint8) for k in rk]
-    s ^= rks[10]
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    s ^= rks[nr]
+    for rnd in range(nr - 1, 0, -1):
         s = sbox_inv[s[:, inv_shift]]
         s ^= rks[rnd]
         a0, a1, a2, a3 = (s[:, i::4] for i in range(4))
@@ -329,9 +345,94 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _cbc_decrypt_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:
+    """Raw CBC decryption, explicit IV, no padding removal — the shape
+    ISO 32000-2 uses for /UE //OE (zero IV, exactly two blocks)."""
+    if not ct or len(ct) % 16:
+        raise PdfError("CBC payload not block-aligned")
+    rk = _expand_key(key)
+    try:
+        plain_ecb = _ecb_decrypt_np(ct, rk)
+    except ImportError:  # pragma: no cover - numpy always present here
+        plain_ecb = b"".join(
+            _decrypt_block(ct[i : i + 16], rk) for i in range(0, len(ct), 16)
+        )
+    prev = iv + ct[:-16]
+    return bytes(a ^ b for a, b in zip(plain_ecb, prev))
+
+
+def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC encryption, explicit IV, NO padding and no IV prefix —
+    used by Algorithm 2.B's inner AES-128 step and the writer's /UE /OE."""
+    if len(data) % 16:
+        raise PdfError("CBC plaintext not block-aligned")
+    rkw = _rk_words(_expand_key(key))
+    out = bytearray()
+    p0 = int.from_bytes(iv[:4], "big")
+    p1 = int.from_bytes(iv[4:8], "big")
+    p2 = int.from_bytes(iv[8:12], "big")
+    p3 = int.from_bytes(iv[12:16], "big")
+    for i in range(0, len(data), 16):
+        b = data[i : i + 16]
+        p0, p1, p2, p3 = _encrypt_block_words(
+            p0 ^ int.from_bytes(b[:4], "big"),
+            p1 ^ int.from_bytes(b[4:8], "big"),
+            p2 ^ int.from_bytes(b[8:12], "big"),
+            p3 ^ int.from_bytes(b[12:16], "big"),
+            rkw,
+        )
+        out += p0.to_bytes(4, "big")
+        out += p1.to_bytes(4, "big")
+        out += p2.to_bytes(4, "big")
+        out += p3.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """Single-block ECB encryption (the /Perms entry)."""
+    return _encrypt_block(block, _expand_key(key))
+
+
 # ---------------------------------------------------------------------------
-# Key derivation (ISO 32000-1 §7.6.3.3, Algorithms 2-5)
+# Key derivation (ISO 32000-1 §7.6.3.3, Algorithms 2-5;
+# ISO 32000-2 §7.6.4.3.3-4, Algorithms 2.A/2.B for AES-256)
 # ---------------------------------------------------------------------------
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (revision 6 password hash): an
+    iterated SHA-256/384/512 + AES-128-CBC mix, ≥64 rounds, data-
+    dependent termination.  `udata` is empty for user-password hashes
+    and the 48-byte /U string for owner-password hashes."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\x00"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+    return k[:32]
+
+
+def _hash_r5(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Revision 5 (the deprecated pre-2.0 AES-256 extension): plain
+    SHA-256 over password || salt || udata."""
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def _pw_hash_v5(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    return (
+        _hash_2b(password, salt, udata)
+        if r == 6
+        else _hash_r5(password, salt, udata)
+    )
 
 
 def _file_key(
@@ -403,10 +504,12 @@ def _enc_int(v, what: str) -> int:
 
 
 class StandardSecurityHandler:
-    """Reader side: verify the EMPTY user password and decrypt strings /
-    streams.  Raises PdfError for unsupported revisions, non-Standard
-    filters, hostile dictionary shapes, or a real (non-empty)
-    password."""
+    """Reader side: verify the EMPTY user (or owner) password and
+    decrypt strings / streams.  /R 2-4 (RC4 / AES-128) and /R 5-6
+    (AES-256, ISO 32000-2 §7.6.4).  Strings and streams may name
+    DIFFERENT crypt filters (/StrF vs /StmF) and each is honoured.
+    Raises PdfError for unsupported revisions, non-Standard filters,
+    hostile dictionary shapes, or a real (non-empty) password."""
 
     def __init__(self, enc: dict, id0: bytes, resolve=lambda x: x) -> None:
         filt = str(resolve(enc.get("Filter", "")))
@@ -414,10 +517,18 @@ class StandardSecurityHandler:
             raise PdfError(f"encrypted document (unsupported filter {filt})")
         v = _enc_int(resolve(enc.get("V", 0)), "V")
         r = _enc_int(resolve(enc.get("R", 0)), "R")
+        if v == 5:
+            if r not in (5, 6):
+                raise PdfError(
+                    f"encrypted document (unsupported /R {r} /V {v})"
+                )
+            self._init_v5(enc, r, resolve)
+            return
         if r not in (2, 3, 4) or v not in (1, 2, 4):
             raise PdfError(
                 f"encrypted document (unsupported /R {r} /V {v})"
             )
+        self.v5 = False
         o = resolve(enc.get("O"))
         u = resolve(enc.get("U"))
         if not isinstance(o, bytes) or not isinstance(u, bytes):
@@ -425,33 +536,40 @@ class StandardSecurityHandler:
         p = _enc_int(resolve(enc.get("P", -1)), "P")
         length_bits = _enc_int(resolve(enc.get("Length", 40)), "Length")
         key_len = 5 if r == 2 else max(5, min(16, length_bits // 8))
-        self.aes = False
         encrypt_metadata = resolve(enc.get("EncryptMetadata", True))
         if v == 4:
             cf = resolve(enc.get("CF")) or {}
-            stmf = str(resolve(enc.get("StmF", "Identity")))
-            cfd = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
-            if cfd is not None and not isinstance(cfd, dict):
-                raise PdfError("encrypted document (bad crypt filter)")
-            if cfd is None and stmf != "Identity":
-                # a named stream filter that /CF cannot resolve: treating
-                # it as Identity would emit ciphertext as text
-                raise PdfError(
-                    f"encrypted document (undefined crypt filter {stmf})"
-                )
-            cfm = str(resolve((cfd or {}).get("CFM", "Identity")))
-            if cfm == "AESV2":
-                self.aes = True
+
+            def cfm_for(name: str) -> str:
+                if name == "Identity":
+                    return "Identity"
+                cfd = resolve(cf.get(name)) if isinstance(cf, dict) else None
+                if cfd is not None and not isinstance(cfd, dict):
+                    raise PdfError("encrypted document (bad crypt filter)")
+                if cfd is None:
+                    # a named filter that /CF cannot resolve: treating it
+                    # as Identity would emit ciphertext as text
+                    raise PdfError(
+                        f"encrypted document (undefined crypt filter {name})"
+                    )
+                cfm = str(resolve(cfd.get("CFM", "Identity")))
+                if cfm not in ("V2", "AESV2", "Identity"):
+                    raise PdfError(
+                        f"encrypted document (unsupported CFM {cfm})"
+                    )
+                return cfm
+
+            # /StrF is resolved SEPARATELY: a document may encrypt
+            # streams with AESV2 while leaving strings Identity (or use
+            # different methods) — decrypting strings with the stream
+            # cipher would produce garbage metadata instead of text
+            self._stm_cfm = cfm_for(str(resolve(enc.get("StmF", "Identity"))))
+            self._str_cfm = cfm_for(str(resolve(enc.get("StrF", "Identity"))))
+            if "AESV2" in (self._stm_cfm, self._str_cfm):
                 key_len = 16
-            elif cfm == "V2":
-                self.aes = False
-            elif cfm == "Identity":
-                key_len = 0  # no encryption of streams/strings
-            else:
-                raise PdfError(
-                    f"encrypted document (unsupported CFM {cfm})"
-                )
-        self.identity = v == 4 and key_len == 0
+        else:
+            self._stm_cfm = self._str_cfm = "V2"
+        self.identity = self._stm_cfm == "Identity" and self._str_cfm == "Identity"
         self.key = (
             b""
             if self.identity
@@ -468,19 +586,92 @@ class StandardSecurityHandler:
             if not ok:
                 raise PdfError("encrypted document (password required)")
 
-    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+    def _init_v5(self, enc: dict, r: int, resolve) -> None:
+        """AES-256 (ISO 32000-2 §7.6.4): /R 5 (deprecated SHA-256
+        extension) and /R 6 (PDF 2.0, Algorithm 2.B hash).  Tries the
+        empty USER password first (Algorithm 11), then the empty OWNER
+        password (Algorithm 12) — both are 'open for every viewer'
+        shapes a crawl extractor must read."""
+        self.v5 = True
+        self._stm_cfm = self._str_cfm = "AESV3"
+        o = resolve(enc.get("O"))
+        u = resolve(enc.get("U"))
+        ue = resolve(enc.get("UE"))
+        oe = resolve(enc.get("OE"))
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("encrypted document (missing /O or /U)")
+        if len(o) < 48 or len(u) < 48:
+            raise PdfError("encrypted document (short /O or /U)")
+        cf = resolve(enc.get("CF")) or {}
+
+        def cfm_for(name: str) -> str:
+            if name == "Identity":
+                return "Identity"
+            cfd = resolve(cf.get(name)) if isinstance(cf, dict) else None
+            if cfd is not None and not isinstance(cfd, dict):
+                raise PdfError("encrypted document (bad crypt filter)")
+            if cfd is None:
+                raise PdfError(
+                    f"encrypted document (undefined crypt filter {name})"
+                )
+            cfm = str(resolve(cfd.get("CFM", "Identity")))
+            if cfm not in ("AESV3", "Identity"):
+                raise PdfError(
+                    f"encrypted document (unsupported CFM {cfm} for /V 5)"
+                )
+            return cfm
+
+        if "StmF" in enc or "StrF" in enc or "CF" in enc:
+            self._stm_cfm = cfm_for(str(resolve(enc.get("StmF", "Identity"))))
+            self._str_cfm = cfm_for(str(resolve(enc.get("StrF", "Identity"))))
+        self.identity = (
+            self._stm_cfm == "Identity" and self._str_cfm == "Identity"
+        )
         if self.identity:
+            self.key = b""
+            return
+        u48, o48 = u[:48], o[:48]
+        if _pw_hash_v5(b"", u48[32:40], b"", r) == u48[:32]:
+            if not isinstance(ue, bytes) or len(ue) < 32:
+                raise PdfError("encrypted document (missing /UE)")
+            inter = _pw_hash_v5(b"", u48[40:48], b"", r)
+            self.key = _cbc_decrypt_nopad(inter, b"\x00" * 16, ue[:32])
+        elif _pw_hash_v5(b"", o48[32:40], u48, r) == o48[:32]:
+            if not isinstance(oe, bytes) or len(oe) < 32:
+                raise PdfError("encrypted document (missing /OE)")
+            inter = _pw_hash_v5(b"", o48[40:48], u48, r)
+            self.key = _cbc_decrypt_nopad(inter, b"\x00" * 16, oe[:32])
+        else:
+            raise PdfError("encrypted document (password required)")
+
+    def _apply(self, cfm: str, data: bytes, num: int, gen: int) -> bytes:
+        if cfm == "Identity":
             return data
-        key = _object_key(self.key, num, gen, self.aes)
-        if self.aes:
+        if cfm == "AESV3":
+            # Algorithm 1.A: the 32-byte file key is used directly — no
+            # per-object key derivation in /V 5
+            return aes_cbc_decrypt(self.key, data)
+        key = _object_key(self.key, num, gen, cfm == "AESV2")
+        if cfm == "AESV2":
             return aes_cbc_decrypt(key, data)
         return rc4(key, data)
+
+    def decrypt(
+        self, data: bytes, num: int, gen: int, string: bool = False
+    ) -> bytes:
+        if self.identity:
+            return data
+        return self._apply(
+            self._str_cfm if string else self._stm_cfm, data, num, gen
+        )
 
 
 class WriterCrypt:
     """Writer side (deterministic corpus): derive O/U/key once, then
     encrypt strings and streams with per-object keys.  cfm: 'RC4' (V2
-    for 128-bit / V1 for 40-bit) or 'AESV2'."""
+    for 128-bit / V1 for 40-bit), 'AESV2' (/R 4), or 'AESV3'
+    (/R 6, AES-256 per ISO 32000-2 — every salt and the file key are
+    derived from id0, never random, so the corpus is byte-reproducible)."""
 
     def __init__(
         self,
@@ -493,7 +684,36 @@ class WriterCrypt:
         p: int = -44,
     ) -> None:
         self.r, self.p, self.id0 = r, p, id0
-        self.aes = cfm == "AESV2"
+        self.aes = cfm in ("AESV2", "AESV3")
+        self.v5 = cfm == "AESV3"
+        if self.v5:
+            if r not in (5, 6):
+                r = 6
+            self.r = r
+            self.length_bits = 256
+            h = hashlib.sha256
+            self.key = h(b"fk|" + id0).digest()
+            vs_u = h(b"vu|" + id0).digest()[:8]
+            ks_u = h(b"ku|" + id0).digest()[:8]
+            self.u = _pw_hash_v5(user_pw, vs_u, b"", r) + vs_u + ks_u
+            self.ue = _cbc_encrypt_nopad(
+                _pw_hash_v5(user_pw, ks_u, b"", r), b"\x00" * 16, self.key
+            )
+            vs_o = h(b"vo|" + id0).digest()[:8]
+            ks_o = h(b"ko|" + id0).digest()[:8]
+            self.o = _pw_hash_v5(owner_pw, vs_o, self.u, r) + vs_o + ks_o
+            self.oe = _cbc_encrypt_nopad(
+                _pw_hash_v5(owner_pw, ks_o, self.u, r), b"\x00" * 16, self.key
+            )
+            perms_plain = (
+                struct.pack("<i", p)
+                + b"\xff\xff\xff\xff"
+                + b"T"  # EncryptMetadata true
+                + b"adb"
+                + h(b"pr|" + id0).digest()[:4]
+            )
+            self.perms = _ecb_encrypt_block(self.key, perms_plain)
+            return
         key_len = 16 if self.aes else (5 if r == 2 else length_bits // 8)
         self.length_bits = key_len * 8
         self.o = _compute_o(owner_pw, user_pw, r, key_len)
@@ -501,18 +721,44 @@ class WriterCrypt:
         self.u = _compute_u(self.key, id0, r)
 
     def encrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
-        key = _object_key(self.key, num, gen, self.aes)
         if self.aes:
             # deterministic IV: content+object keyed (never random — the
             # corpus must be byte-reproducible)
             iv = hashlib.md5(
                 b"iv|%d|%d|" % (num, gen) + hashlib.md5(data).digest()
             ).digest()
+            key = (
+                self.key
+                if self.v5
+                else _object_key(self.key, num, gen, True)
+            )
             return aes_cbc_encrypt(key, iv, data)
-        return rc4(key, data)
+        return rc4(_object_key(self.key, num, gen, False), data)
 
     def encrypt_dict(self) -> dict:
         """The /Encrypt dictionary values for the writer."""
+        if self.v5:
+            return {
+                "Filter": "Standard",
+                "V": 5,
+                "R": self.r,
+                "Length": 256,
+                "CF": {
+                    "StdCF": {
+                        "CFM": "AESV3",
+                        "AuthEvent": "DocOpen",
+                        "Length": 32,
+                    }
+                },
+                "StmF": "StdCF",
+                "StrF": "StdCF",
+                "O": self.o,
+                "U": self.u,
+                "OE": self.oe,
+                "UE": self.ue,
+                "Perms": self.perms,
+                "P": self.p,
+            }
         if self.aes:
             return {
                 "Filter": "Standard",

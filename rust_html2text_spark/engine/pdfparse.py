@@ -585,10 +585,11 @@ class PdfDocument:
             self._init_decryptor()
 
     def _init_decryptor(self) -> None:
-        """Standard security handler, EMPTY user password only (ISO
-        32000-1 §7.6.3) — the common crawled case where encryption only
-        enforces owner permissions.  Real passwords and /R 5-6 still
-        raise (detect-and-skip, as before this existed)."""
+        """Standard security handler, EMPTY user/owner password only
+        (ISO 32000-1 §7.6.3 for /R 2-4; ISO 32000-2 §7.6.4 for the
+        AES-256 /R 5-6 revisions) — the common crawled case where
+        encryption only enforces owner permissions.  Real passwords
+        still raise (detect-and-skip, as before this existed)."""
         if self._used_brute:
             # objects were already eagerly parsed without decryption
             raise PdfError("encrypted document (damaged xref)")
@@ -610,19 +611,27 @@ class PdfDocument:
         """Decrypt strings and stream payloads of a freshly-loaded
         top-level object.  Never applied to the /Encrypt dict itself,
         to XRef streams, or to objects inside an ObjStm (the container
-        stream was the encrypted unit)."""
+        stream was the encrypted unit).  Strings and streams go through
+        their OWN crypt filters (/StrF vs /StmF may differ).
+
+        The walk builds a NEW tree (fresh Stream nodes included) and
+        only the fully-decrypted result is returned: if decryption
+        raises partway (e.g. a non-block-aligned AES payload on a later
+        sibling), the caller keeps the ORIGINAL object untouched — a
+        half-decrypted hybrid must never be cached and served."""
         dec = self._decryptor
 
         def walk(o):
             if isinstance(o, bytes):
-                return dec.decrypt(o, num, gen)
+                return dec.decrypt(o, num, gen, string=True)
             if isinstance(o, list):
                 return [walk(x) for x in o]
             if isinstance(o, Stream):
-                o.dict = walk(o.dict)
-                if str(o.dict.get("Type")) != "XRef":
-                    o.raw = dec.decrypt(o.raw, num, gen)
-                return o
+                d = walk(o.dict)
+                raw = o.raw
+                if str(d.get("Type")) != "XRef":
+                    raw = dec.decrypt(raw, num, gen)
+                return Stream(d, raw)
             if isinstance(o, dict):
                 return {k: walk(v) for k, v in o.items()}
             return o

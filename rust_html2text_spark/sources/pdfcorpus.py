@@ -172,11 +172,13 @@ def _crypt_obj(obj, crypt, num: int):
 
 
 def _ser_encrypt_dict(crypt) -> bytes:
-    """Serialize the /Encrypt dictionary — its own /O /U strings are
-    NEVER encrypted (they bootstrap the key)."""
+    """Serialize the /Encrypt dictionary — its own byte entries
+    (/O /U /OE /UE /Perms) are NEVER encrypted (they bootstrap the
+    key)."""
     d = dict(crypt.encrypt_dict())
-    d["O"] = _hexstr(d["O"])
-    d["U"] = _hexstr(d["U"])
+    for k in ("O", "U", "OE", "UE", "Perms"):
+        if k in d:
+            d[k] = _hexstr(d[k])
     return _ser(d)
 
 
@@ -191,7 +193,12 @@ def build_pdf(
     Encrypted lanes (standard security handler, empty user password —
     the crawled-PDF shape every viewer opens): doc_id % 9 == 4 →
     RC4-128 /R 3, doc_id % 18 == 7 → AES-128 /R 4 /AESV2, doc_id % 18
-    == 16 → RC4-40 /R 2.  `user_pw` forces a real password (tests use
+    == 16 → RC4-40 /R 2, doc_id % 18 == 11 → AES-256 /AESV3 per ISO
+    32000-2 (doc_id % 360 == 11 → /R 6 with the iterated Algorithm-2.B
+    hash, the rest of the lane → the /R 5 SHA-256 shape — the R6 hash
+    is SPEC-MANDATED expensive, ≥64 AES rounds ≈ 0.3 s/derivation in
+    pure Python, so the corpus keeps its share at ~0.3% like a real
+    crawl's PDF-2.0 tail).  `user_pw` forces a real password (tests use
     it to pin that wrong-password documents still error)."""
     url = f"https://www.{source}.example.com/pdf/{doc_id}"
     body_lines = _wrap(text, WRAP_CHARS)
@@ -314,7 +321,7 @@ def build_pdf(
         }
 
     crypt = None
-    if user_pw or doc_id % 9 == 4 or doc_id % 18 in (7, 16):
+    if user_pw or doc_id % 9 == 4 or doc_id % 18 in (7, 11, 16):
         import hashlib
 
         from rust_html2text_spark.engine.pdfcrypt import WriterCrypt
@@ -322,6 +329,9 @@ def build_pdf(
         id0 = hashlib.md5(f"id|{doc_id}|{source}".encode()).digest()
         if doc_id % 18 == 7 and not user_pw:
             crypt = WriterCrypt(id0, user_pw=user_pw, r=4, cfm="AESV2")
+        elif doc_id % 18 == 11 and not user_pw:
+            r56 = 6 if doc_id % 360 == 11 else 5
+            crypt = WriterCrypt(id0, user_pw=user_pw, r=r56, cfm="AESV3")
         elif doc_id % 18 == 16 and not user_pw:
             crypt = WriterCrypt(id0, user_pw=user_pw, r=2, length_bits=40)
         else:

@@ -166,6 +166,22 @@ def run_with_resume(
             "width": width,
             "committed_at": time.time(),
         }
+        if "encoding_source" in out_df.columns:
+            # charset-sniff lineage: the per-batch histogram of how each
+            # row's encoding was decided (bom/http/meta/fallback) — a
+            # drifting mix across batches is the first mojibake signal a
+            # crawl operator sees, so it belongs in the job summary, not
+            # only in per-row columns.  O(#distinct sources) rows.
+            enc_rows = (
+                out_df.groupBy("encoding_source").count().collect()
+            )
+            hist = {
+                str(r["encoding_source"]): int(r["count"]) for r in enc_rows
+            }
+            manifest["encoding_sources"] = hist
+            agg = summary.setdefault("encoding_sources", {})
+            for k, v in hist.items():
+                agg[k] = agg.get(k, 0) + v
         tmp = os.path.join(_manifest_dir(out_path), f".{b}.json.tmp")
         final = os.path.join(_manifest_dir(out_path), f"{b}.json")
         with open(tmp, "w") as fh:

@@ -514,28 +514,39 @@ def write_warc_file(
 
 def write_wet_file(
     path: str,
-    records: Iterable[tuple[str, datetime | None, str]],
+    records: Iterable[tuple],
     gzip_members: bool = True,
 ) -> int:
-    """Write (url, warc_ts, extracted_text) as a WET file — WARC-Type:
-    conversion records with text/plain payloads, one gzip member per
-    record (the format Common Crawl publishes ITS extracted text in, so
-    this pipeline's output drops into any WET-consuming tool).
-    Deterministic like write_warc_file."""
+    """Write (url, warc_ts, extracted_text[, source_charset]) as a WET
+    file — WARC-Type: conversion records with text/plain payloads, one
+    gzip member per record (the format Common Crawl publishes ITS
+    extracted text in, so this pipeline's output drops into any
+    WET-consuming tool).  A 4th tuple element records the charset the
+    SOURCE page was decoded from as `WARC-Identified-Content-Charset`
+    (Common Crawl's WET header for the same lineage); the payload
+    itself is always UTF-8.  Deterministic like write_warc_file."""
     import gzip as gzipmod
 
     n = 0
     with open(path, "wb") as fh:
-        for url, ts, text in records:
+        for rec in records:
+            url, ts, text = rec[0], rec[1], rec[2]
+            charset = rec[3] if len(rec) > 3 else None
             date = (ts or datetime(1970, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
             rec_id = hashlib.md5(url.encode("utf-8")).hexdigest()
             body = (text or "").encode("utf-8")
+            cs_line = (
+                f"WARC-Identified-Content-Charset: {charset}\r\n"
+                if charset
+                else ""
+            )
             header = (
                 "WARC/1.0\r\n"
                 "WARC-Type: conversion\r\n"
                 f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
                 f"WARC-Target-URI: {url}\r\n"
                 f"WARC-Date: {date}\r\n"
+                f"{cs_line}"
                 "Content-Type: text/plain\r\n"
                 f"Content-Length: {len(body)}\r\n\r\n"
             ).encode("utf-8")
@@ -564,9 +575,16 @@ def export_wet(rendered, path: str, gzip_members: bool = True) -> int:
     text row to the driver).  Production exports go through
     export_wet_partitioned, which never materializes rows on the
     driver."""
-    rows = rendered.select("url", "text").filter("text is not null").collect()
+    has_enc = "encoding" in rendered.columns
+    cols = ["url", "text"] + (["encoding"] if has_enc else [])
+    rows = rendered.select(*cols).filter("text is not null").collect()
     return write_wet_file(
-        path, [(r["url"], None, r["text"]) for r in rows], gzip_members
+        path,
+        [
+            (r["url"], None, r["text"], r["encoding"] if has_enc else None)
+            for r in rows
+        ],
+        gzip_members,
     )
 
 
@@ -594,7 +612,10 @@ def export_wet_partitioned(
 
     os.makedirs(out_dir, exist_ok=True)
     has_ts = "warc_ts" in rendered.columns
-    cols = ("url", "warc_ts", "text") if has_ts else ("url", "text")
+    has_enc = "encoding" in rendered.columns
+    cols = ["url"] + (["warc_ts"] if has_ts else []) + ["text"]
+    if has_enc:
+        cols.append("encoding")
     df = rendered.select(*cols).filter("text is not null")
 
     shard_schema = StructType(
@@ -623,12 +644,17 @@ def export_wet_partitioned(
                 urls = batch["url"]
                 texts = batch["text"]
                 tss = batch["warc_ts"] if has_ts else [None] * len(batch)
-                for url, ts, text in zip(urls, tss, texts):
+                encs = (
+                    batch["encoding"] if has_enc else [None] * len(batch)
+                )
+                for url, ts, text, enc in zip(urls, tss, texts, encs):
                     if pd.isna(ts):
                         ts = None
                     elif hasattr(ts, "to_pydatetime"):
                         ts = ts.to_pydatetime()
-                    yield url, ts, text
+                    if enc is not None and pd.isna(enc):
+                        enc = None
+                    yield url, ts, text, enc
 
         n = write_wet_file(tmp, records(), gzip_members)
         if n == 0:

@@ -299,3 +299,122 @@ def test_warc_http_charset_to_extraction(spark, tmp_path):
         pages, width=100, charset_sniff=True
     ).collect()
     assert all("“curly”" not in (r["text"] or "") for r in rows_nolabel)
+
+
+def test_encoding_lineage_in_job_summary(spark, tmp_path):
+    """run_with_resume surfaces the per-run encoding_source histogram in
+    the job summary (and per-bucket manifests) when the operator output
+    carries sniff lineage — the batch-level mojibake-drift signal."""
+    import json
+    import os
+
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.sources.sink import run_with_resume
+
+    pages = charset_pages_from_documents(
+        load_documents(spark, SF_DIR)
+    ).limit(40)
+    out = str(tmp_path / "enc_out")
+    summary = run_with_resume(
+        pages,
+        out,
+        num_buckets=3,
+        operator=lambda part: extract_pages(
+            part, width=80, charset_sniff=True
+        ),
+    )
+    assert summary["rows"] == 40
+    hist = summary["encoding_sources"]
+    # the charset corpus covers BOM, meta and default-fallback lanes
+    assert {"bom", "meta", "default"} <= set(hist)
+    assert sum(hist.values()) == 40
+    # and the written rows agree with the summary histogram
+    got = (
+        spark.read.parquet(out)
+        .groupBy("encoding_source")
+        .count()
+        .collect()
+    )
+    assert {r["encoding_source"]: r["count"] for r in got} == hist
+    # per-bucket manifests carry their own histograms summing to the total
+    mdir = os.path.join(out, "_manifest")
+    bucket_hists = []
+    for f in os.listdir(mdir):
+        if f.endswith(".json") and f[0].isdigit():
+            with open(os.path.join(mdir, f)) as fh:
+                bucket_hists.append(json.load(fh).get("encoding_sources", {}))
+    merged = {}
+    for h in bucket_hists:
+        for k, v in h.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == hist
+    # a render-mode run (no lineage columns) keeps its summary shape
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    s2 = run_with_resume(
+        load_pages(spark, SF_DIR).limit(10),
+        str(tmp_path / "render_out"),
+        num_buckets=2,
+    )
+    assert "encoding_sources" not in s2
+
+
+def test_wet_export_carries_identified_charset(spark, tmp_path):
+    """WET conversion records carry WARC-Identified-Content-Charset when
+    the exported frame has sniff lineage: the header round-trips through
+    the shard writer, matches the per-row encoding column, and is absent
+    when the frame has no encoding column."""
+    import os
+
+    from rust_html2text_spark.operators.extract import extract_pages
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+    from rust_html2text_spark.sources.warc import (
+        _file_chunks,
+        export_wet_partitioned,
+        iter_warc_records,
+        write_wet_file,
+    )
+
+    # direct writer: 4-tuple records emit the header, 3-tuples do not
+    p = str(tmp_path / "direct.wet.gz")
+    write_wet_file(
+        p,
+        [
+            ("https://e.x/1", None, "one", "shift_jis"),
+            ("https://e.x/2", None, "two"),
+        ],
+    )
+    headers = [
+        h for h, _ in iter_warc_records(_file_chunks(p))
+    ]
+    assert headers[0]["warc-identified-content-charset"] == "shift_jis"
+    assert "warc-identified-content-charset" not in headers[1]
+
+    rows_df = extract_pages(
+        charset_pages_from_documents(load_documents(spark, SF_DIR)).limit(30),
+        width=80,
+        charset_sniff=True,
+    )
+    out = str(tmp_path / "wet_cs")
+    man = export_wet_partitioned(rows_df.repartition(3), out)
+    want = {
+        r["url"]: r["encoding"]
+        for r in rows_df.collect()
+        if r["text"] is not None
+    }
+    got = {}
+    for s in man["shards"]:
+        path = os.path.join(out, s["shard"])
+        for h, _ in iter_warc_records(_file_chunks(path)):
+            got[h["warc-target-uri"]] = h.get(
+                "warc-identified-content-charset"
+            )
+    assert got == want
+    assert {"cp1252", "shift_jis", "utf-16-le"} <= set(got.values())

@@ -459,6 +459,120 @@ fx(
 )
 
 
+fx(
+    "infinite-scroll-stub",
+    f"""<html><body>
+    <nav><a href="/">Home</a> <a href="/feed">Feed</a> <a href="/trending">Trending</a> <a href="/live">Live</a> <a href="/video">Video</a></nav>
+    <div class="app-shell">
+      <div class="story-card"><article>
+        <h1>Reservoir reopens to anglers</h1>
+        <p>{PROSE3}</p>
+      </article></div>
+      <div class="feed-placeholder"><p>Loading more stories…</p><div class="spinner"></div></div>
+      <div class="feed-placeholder"><p>Loading more stories…</p><div class="spinner"></div></div>
+      <div class="feed-placeholder"><p>Loading more stories…</p><div class="spinner"></div></div>
+    </div>
+    <div class="app-banner"><p>Reading in the app is faster. Open this story in the app for the full experience and offline access.</p><button>Open app</button></div>
+    <footer><p>Trending now: ten recipes, five gadgets, one weird trick that actually works, celebrity news, sports scores.</p></footer>
+    </body></html>""",
+    [PROSE3],
+    ["Loading more stories", "Open this story in the app", "one weird trick"],
+)
+
+fx(
+    "article-split-across-siblings-with-ads",
+    f"""<html><body>
+    <header><h1>The Morning Dispatch</h1></header>
+    <div id="story-body">
+      <div class="story-part"><p>{PROSE}</p></div>
+      <div class="ad-slot"><p>ADVERTISEMENT — Switch today and save forty percent on your first year, cancel anytime, terms apply.</p></div>
+      <div class="story-part"><p>{PROSE2}</p></div>
+      <div class="ad-slot"><p>Sponsored: the sedan critics call surprisingly affordable, now with zero-percent financing.</p></div>
+      <div class="story-part"><p>{PROSE3}</p></div>
+    </div>
+    <aside class="sidebar"><h4>Don't miss</h4><ul><li><a href="/x">Quiz: which district are you?</a></li><li><a href="/y">Photos of the week</a></li></ul></aside>
+    </body></html>""",
+    [PROSE, PROSE2, PROSE3],
+    ["cancel anytime", "zero-percent financing", "which district are you"],
+)
+
+fx(
+    "cjk-article-no-ascii-commas",
+    """<html lang="ja"><body>
+    <nav><a href="/">ホーム</a> <a href="/news">ニュース</a> <a href="/sports">スポーツ</a> <a href="/weather">天気</a></nav>
+    <main><article>
+      <h1>新しい図書館が開館</h1>
+      <p>市は三年間の工事を経て新しい中央図書館を開館した、館内には十万冊を超える蔵書があり、閲覧室と講義室も備えている。開館初日には千人以上の市民が訪れ、関係者は想定を上回る反応だと述べた。</p>
+      <p>館長によると、試験期間中は開館時間を深夜まで延長する予定で、学生からの長年の要望に応えた形だという。周辺の駐輪場も拡張され、通学路の安全対策も同時に進められた。</p>
+    </article></main>
+    <aside class="related"><h4>関連記事</h4><ul><li><a href="/a">新しい市民プールが完成</a></li><li><a href="/b">駅前再開発の計画発表</a></li></ul></aside>
+    <footer><p>© 2026 例ニュース社 — <a href="/terms">利用規約</a> <a href="/privacy">プライバシー</a></p></footer>
+    </body></html>""",
+    ["十万冊を超える蔵書", "開館時間を深夜まで延長"],
+    ["スポーツ", "新しい市民プールが完成", "利用規約"],
+)
+
+fx(
+    "comments-longer-than-article",
+    f"""<html><body>
+    <nav><a href="/">Home</a> <a href="/blog">Blog</a></nav>
+    <div class="post-wrap"><article>
+      <h1>A short note on backups</h1>
+      <p>{PROSE3}</p>
+    </article></div>
+    <div class="discussion" id="disqus_thread">
+      <h3>89 replies</h3>
+      <div class="comment"><p>I lost a decade of photos before I learned this lesson, and now I keep three copies on two media with one offsite, exactly as the old rule says.</p></div>
+      <div class="comment"><p>Disagree with the premise entirely, cloud providers already replicate everything, so personal backups are mostly theater for most people these days.</p></div>
+      <div class="comment"><p>The restore test is the part everyone skips, a backup you have never restored from is a hope, not a plan, as my old sysadmin used to say.</p></div>
+      <div class="comment"><p>We ran into silent corruption once, checksums caught it, which is why I schedule a verify pass monthly on every archive drive in the house.</p></div>
+    </div>
+    </body></html>""",
+    [PROSE3],
+    ["mostly theater", "hope, not a plan", "verify pass monthly"],
+)
+
+
+fx(
+    "neutral-classnames-no-article-tag",
+    f"""<html><body>
+    <div class="row top"><a href="/">Home</a> <a href="/a">World</a> <a href="/b">Local</a> <a href="/c">Money</a> <a href="/d">Life</a> <a href="/e">More</a></div>
+    <div class="row mid">
+      <div class="col left"><ul><li><a href="/p">Power cuts expected</a></li><li><a href="/q">Bridge toll rises</a></li><li><a href="/r">Derby ends level</a></li></ul></div>
+      <div class="col center">
+        <h2>Water main replaced ahead of schedule</h2>
+        <p>{PROSE}</p>
+        <p>{PROSE2}</p>
+      </div>
+      <div class="col right"><p>Hot deal: two seasons of streaming, one low price, this week only.</p></div>
+    </div>
+    <div class="row bottom"><p>Sign up and never miss a story again, delivered daily.</p></div>
+    </body></html>""",
+    [PROSE, PROSE2],
+    ["Bridge toll rises", "one low price", "never miss a story"],
+)
+
+fx(
+    "short-note-vs-long-replies-neutral-names",
+    f"""<html><body>
+    <div class="wrap">
+      <div class="note">
+        <h1>A short note on backups</h1>
+        <p>{PROSE3}</p>
+      </div>
+      <div class="replies">
+        <h3>Replies</h3>
+        <div class="reply"><p>I lost a decade of photos before I learned this, and now I keep three copies, on two media, with one offsite, exactly as the old rule says.</p></div>
+        <div class="reply"><p>Disagree with the premise, cloud providers replicate everything, so personal backups are mostly theater for most people, most of the time.</p></div>
+        <div class="reply"><p>The restore test is the part everyone skips, a backup you never restored is a hope, not a plan, as my first sysadmin liked to say.</p></div>
+      </div>
+    </div>
+    </body></html>""",
+    [PROSE3],
+    ["mostly theater", "hope, not a plan"],
+)
+
+
 def _score(name, html, main_blocks, junk_blocks):
     text = extract_main(html.encode("utf-8"), 100)
     flat = " ".join(text.split())
@@ -477,7 +591,7 @@ def _score(name, html, main_blocks, junk_blocks):
 
 
 def test_eval_set_shape():
-    assert len(FIXTURES) >= 24
+    assert len(FIXTURES) >= 30
     names = [f[0] for f in FIXTURES]
     assert len(set(names)) == len(names)
 
@@ -493,9 +607,10 @@ def test_extraction_f1_on_realistic_pages():
     )
     # aggregate pin: the heuristic must stay good on realistic layouts
     assert mean_f1 >= 0.9, f"mean F1 {mean_f1:.3f} < 0.9\n{report}"
-    # per-page floor: no layout may collapse entirely
+    # per-page floor: no layout may collapse entirely (raised from 0.5
+    # in round 6 once the adversarial shapes were handled)
     floor = min(s[2] for s in scores.values())
-    assert floor >= 0.5, f"worst page F1 {floor:.2f} < 0.5\n{report}"
+    assert floor >= 0.7, f"worst page F1 {floor:.2f} < 0.7\n{report}"
     # recall floor: main prose must essentially never be dropped
     mean_recall = sum(s[0] for s in scores.values()) / len(scores)
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.3f}\n{report}"

@@ -1113,10 +1113,15 @@ def test_tampered_u_entry_is_password_required():
 
 
 def test_unsupported_revision_errors():
-    pdf = build_pdf(4, "r6 check", "srcR")
-    broken = pdf.replace(b"/R 3", b"/R 6").replace(b"/V 2", b"/V 5")
+    pdf = build_pdf(4, "r7 check", "srcR")
+    broken = pdf.replace(b"/R 3", b"/R 7").replace(b"/V 2", b"/V 6")
     with pytest.raises(PdfError, match="unsupported"):
         parse_pdf(broken)
+    # declaring /V 5 /R 6 over an R3-shaped dict (32-byte /O /U, no /UE)
+    # is hostile, not merely unsupported — still a clean PdfError
+    broken2 = pdf.replace(b"/R 3", b"/R 6").replace(b"/V 2", b"/V 5")
+    with pytest.raises(PdfError, match="encrypted"):
+        parse_pdf(broken2)
 
 
 def test_encrypted_with_broken_xref_rejected_not_garbled():
@@ -1136,7 +1141,7 @@ def test_spark_pdf_operator_handles_encrypted_lanes(spark):
     from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
 
     docs = load_documents(spark, SF_DIR).filter(
-        "doc_id % 9 = 4 or doc_id % 18 in (7, 16)"
+        "doc_id % 9 = 4 or doc_id % 18 in (7, 11, 16)"
     ).limit(12)
     out = extract_pdf_pages(pdf_pages_from_documents(docs)).collect()
     assert len(out) > 0
@@ -1174,6 +1179,156 @@ def test_hostile_encrypt_dict_shapes_stay_pdferror():
     for enc in hostile:
         with pytest.raises(PdfError):
             StandardSecurityHandler(enc, b"id")
+
+
+def test_aes_fips197_known_answers():
+    """The generalized key schedule must reproduce the FIPS-197 appendix
+    vectors for both key sizes (C.1 AES-128, C.3 AES-256), scalar and
+    numpy paths."""
+    from rust_html2text_spark.engine.pdfcrypt import (
+        _decrypt_block,
+        _ecb_decrypt_np,
+        _encrypt_block,
+        _expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rk = _expand_key(bytes(range(16)))
+    ct = _encrypt_block(pt, rk)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _decrypt_block(ct, rk) == pt
+    rk = _expand_key(bytes(range(32)))
+    ct = _encrypt_block(pt, rk)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct, rk) == pt
+    assert _ecb_decrypt_np(ct * 5, rk) == pt * 5
+
+
+def test_aes256_lanes_decrypt_to_identical_text():
+    """AES-256 empty-user-password lanes (/R 6 via Algorithm 2.B at
+    doc_id%360==11, /R 5 SHA-256 on the rest of the %18==11 lane) must
+    extract like any plain document — text, metadata, and encrypted
+    link annotations."""
+    body = "aes256 lane body, with commas, and enough words to wrap. " * 20
+    for did, label in ((11, "r6"), (29, "r5")):
+        enc_pdf = build_pdf(did, body, "srcV")
+        assert b"/Encrypt" in enc_pdf and b"/AESV3" in enc_pdf, label
+        got = extract_pdf_ex(enc_pdf)
+        assert "aes256 lane body" in got["text"], label
+        assert got["title"] == f"Doc {did}: srcV corpus", label
+        assert got["author"] == "The srcV journal", label
+        doc = parse_pdf(enc_pdf)
+        from rust_html2text_spark.engine.pdftext import pdf_links_from_doc
+
+        links = pdf_links_from_doc(doc, doc.pages())
+        assert any(u.endswith(f"/pdf/{did}") for _, _, u in links), label
+
+
+def test_aes256_wrong_password_and_owner_fallback():
+    """R5/R6: a real user password errors; an empty OWNER password
+    (user password set, owner empty) still opens via Algorithm 12."""
+    import hashlib as _hl
+
+    from rust_html2text_spark.engine.pdfcrypt import (
+        StandardSecurityHandler,
+        WriterCrypt,
+    )
+
+    id0 = _hl.md5(b"aes256-test").digest()
+    for r in (5, 6):
+        wc = WriterCrypt(id0, user_pw=b"realpw", owner_pw=b"own",
+                         r=r, cfm="AESV3")
+        with pytest.raises(PdfError, match="password required"):
+            StandardSecurityHandler(wc.encrypt_dict(), id0)
+        wc2 = WriterCrypt(id0, user_pw=b"userpw", owner_pw=b"",
+                          r=r, cfm="AESV3")
+        h = StandardSecurityHandler(wc2.encrypt_dict(), id0)
+        assert h.key == wc2.key, f"r{r} owner-path key"
+        # tampered /U: neither password validates
+        bad = dict(wc2.encrypt_dict())
+        bad["U"] = bytes([bad["U"][0] ^ 0xFF]) + bad["U"][1:]
+        with pytest.raises(PdfError, match="password required"):
+            StandardSecurityHandler(bad, id0)
+
+
+def test_hostile_v5_encrypt_shapes_stay_pdferror():
+    from rust_html2text_spark.engine.pdfcrypt import (
+        StandardSecurityHandler,
+        WriterCrypt,
+    )
+
+    wc = WriterCrypt(b"id0-hostile!!!!!", r=6, cfm="AESV3")
+    good = wc.encrypt_dict()
+    hostile = [
+        {**good, "O": b"short"},
+        {**good, "U": b"short"},
+        {**good, "O": 7},
+        {**good, "UE": None},
+        {**good, "UE": b"tiny"},
+        {**good, "CF": {"StdCF": {"CFM": Name("AESV2")}}},  # not legal in V5
+        {**good, "StmF": Name("NoSuch")},
+        {**good, "R": 9},
+    ]
+    for enc in hostile:
+        with pytest.raises(PdfError):
+            StandardSecurityHandler(enc, b"id0-hostile!!!!!")
+
+
+def test_strf_distinct_from_stmf_honoured():
+    """/V 4 documents may name DIFFERENT crypt filters for strings and
+    streams: strings Identity + streams AESV2 must leave strings
+    untouched while streams decrypt (previously the stream cipher was
+    applied to both, garbling string metadata)."""
+    import hashlib as _hl
+
+    from rust_html2text_spark.engine.pdfcrypt import (
+        StandardSecurityHandler,
+        WriterCrypt,
+    )
+
+    id0 = _hl.md5(b"strf-test").digest()
+    wc = WriterCrypt(id0, r=4, cfm="AESV2")
+    enc = dict(wc.encrypt_dict())
+    enc["StrF"] = Name("Identity")
+    h = StandardSecurityHandler(enc, id0)
+    stream_ct = wc.encrypt(b"stream payload bytes", 12)
+    assert h.decrypt(stream_ct, 12, 0) == b"stream payload bytes"
+    # strings pass through untouched (they were never encrypted)
+    assert h.decrypt(b"plain string", 12, 0, string=True) == b"plain string"
+    # and the reverse split: strings encrypted, streams Identity
+    enc2 = dict(wc.encrypt_dict())
+    enc2["StmF"] = Name("Identity")
+    h2 = StandardSecurityHandler(enc2, id0)
+    str_ct = wc.encrypt(b"string payload", 3)
+    assert h2.decrypt(str_ct, 3, 0, string=True) == b"string payload"
+    assert h2.decrypt(b"raw stream", 3, 0) == b"raw stream"
+
+
+def test_partial_decrypt_failure_keeps_original_object():
+    """If decryption raises partway through an object (bad payload on a
+    later sibling), the ORIGINAL object must be returned untouched —
+    never a half-decrypted hybrid with mutated Stream nodes."""
+    from rust_html2text_spark.engine.pdfparse import PdfDocument, Stream
+
+    doc = object.__new__(PdfDocument)
+
+    class FlakyDec:
+        def __init__(self):
+            self.calls = 0
+
+        def decrypt(self, data, num, gen, string=False):
+            self.calls += 1
+            if self.calls > 1:
+                raise PdfError("bad payload")
+            return b"DECRYPTED"
+
+    doc._decryptor = FlakyDec()
+    st = Stream({"Length": 3}, b"RAW")
+    obj = {"S": st, "B": b"later-sibling"}
+    out = doc._decrypt_object(obj, 5, 0)
+    assert out is obj
+    assert st.raw == b"RAW"  # the in-tree Stream was not mutated
+    assert obj["B"] == b"later-sibling"
 
 
 def test_encrypted_pdf_mutation_fuzz():
