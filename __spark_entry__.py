@@ -793,6 +793,25 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetched sitemap.xml documents parsed into frontier rows via the
+    house XML parser: one (host, sitemap) row per source host, exploded
+    to per-URL entries with the sitemaps.org scheduling hints (lastmod
+    / changefreq / priority, lane-conditionally absent) and an
+    entity-bearing query-string loc the parser must expand.  The oracle
+    reconstructs the same rows arithmetically from `documents` — an
+    XML-free, independent derivation that certifies the writer+parser
+    round trip."""
+    from rust_html2text_spark.functions.sitemap import sitemap_entries
+    from rust_html2text_spark.sources.corpus import (
+        load_documents,
+        sitemaps_from_documents,
+    )
+
+    sitemaps = sitemaps_from_documents(load_documents(spark, sf_dir))
+    return sitemap_entries(sitemaps)
+
+
 # --- relational layer (join/agg/window on the star schema) ----------------------
 
 
@@ -936,7 +955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_kmeans": q_knn_ivf_kmeans,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
-        "media_resize": q_media_resize,
+        "sitemap_urls": q_sitemap_urls,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "user_sessions": q_user_sessions,
@@ -973,7 +992,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             frontier_schedule in the gate: a plain
                             groupBy-count over the TPC-ish events table,
                             the same agg shape user_sessions (gated)
-                            exercises with a window on top.
+                            exercises with a window on top;
+      media_resize        — folded in round 6 to make room for
+                            sitemap_urls: its decode→resize→re-encode→
+                            decode path subsumes media_decode's, and
+                            multimodal_features (gated) keeps the
+                            multimodal lane driver-verified.
     All stay fully verified locally: scripts/check_oracles.py and
     tests/test_oracles.py run them against the same DuckDB oracles."""
     return {
@@ -985,6 +1009,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "token_count": q_token_count,
         "events_by_type": q_events_by_type,
+        "media_resize": q_media_resize,
     }
 
 
@@ -1312,10 +1337,52 @@ def oracle_sql() -> dict[str, str]:
         FROM waved
     """
 
+    # XML-free reconstruction of the parsed sitemap rows: the corpus
+    # writer derives every field from doc_id arithmetic
+    # (sources/corpus.sitemap_xml_for_host), so SQL can produce the
+    # exact rows the XML parser must recover — including the trailing
+    # entity-bearing query-string loc (one per host, ordinal = n+1).
+    sitemap_urls_sql = """
+        WITH e AS (
+            SELECT 'www.' || source || '.example.com' AS host,
+                   doc_id,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id
+                   ) AS ordinal
+            FROM documents
+        ),
+        per_host AS (
+            SELECT 'www.' || source || '.example.com' AS host,
+                   count(*) AS n
+            FROM documents GROUP BY source
+        )
+        SELECT host, 'urlset' AS sitemap_kind, CAST(ordinal AS INT) AS ordinal,
+               'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+               CASE WHEN doc_id % 3 != 1
+                    THEN '2026-01-' ||
+                         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+               END AS lastmod,
+               CASE WHEN doc_id % 4 != 2 THEN
+                   CASE doc_id % 3 WHEN 0 THEN 'daily'
+                        WHEN 1 THEN 'weekly' ELSE 'monthly' END
+               END AS changefreq,
+               CASE WHEN doc_id % 5 != 3
+                    THEN CAST(doc_id % 11 AS DOUBLE) / 10
+               END AS priority,
+               FALSE AS truncated
+        FROM e
+        UNION ALL
+        SELECT host, 'urlset', CAST(n + 1 AS INT),
+               'https://' || host || '/list?a=1&b=2',
+               NULL, NULL, NULL, FALSE
+        FROM per_host
+    """
+
     return {
         "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
         "robots_frontier": robots_frontier_sql,
         "frontier_schedule": frontier_schedule_sql,
+        "sitemap_urls": sitemap_urls_sql,
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "

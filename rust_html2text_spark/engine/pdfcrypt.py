@@ -302,15 +302,19 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if len(data) < 32 or len(data) % 16:
         raise PdfError("AESV2 payload not block-aligned")
     iv, ct = data[:16], data[16:]
-    rk = _expand_key(key)
-    try:
-        plain_ecb = _ecb_decrypt_np(ct, rk)
-    except ImportError:  # pragma: no cover - numpy always present here
-        plain_ecb = b"".join(
-            _decrypt_block(ct[i : i + 16], rk) for i in range(0, len(ct), 16)
-        )
-    prev = iv + ct[:-16]
-    plain = bytes(a ^ b for a, b in zip(plain_ecb, prev))
+    if _EVP is not None:
+        plain = _evp_cbc_with(_EVP, key, iv, ct, False)
+    else:
+        rk = _expand_key(key)
+        try:
+            plain_ecb = _ecb_decrypt_np(ct, rk)
+        except ImportError:  # pragma: no cover - numpy always present here
+            plain_ecb = b"".join(
+                _decrypt_block(ct[i : i + 16], rk)
+                for i in range(0, len(ct), 16)
+            )
+        prev = iv + ct[:-16]
+        plain = bytes(a ^ b for a, b in zip(plain_ecb, prev))
     pad = plain[-1]
     if 1 <= pad <= 16:
         plain = plain[:-pad]
@@ -323,6 +327,8 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     corpus — derive it from content, never from randomness."""
     pad = 16 - (len(data) % 16)
     data = data + bytes([pad]) * pad
+    if _EVP is not None:
+        return iv + _evp_cbc_with(_EVP, key, iv, data, True)
     rkw = _rk_words(_expand_key(key))
     out = bytearray(iv)
     p0 = int.from_bytes(iv[:4], "big")
@@ -345,11 +351,98 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# OpenSSL EVP acceleration (optional).  The from-scratch FIPS-197 cipher
+# above is the reference implementation (pinned against the appendix
+# known-answer vectors and used as the fallback); when the platform
+# libcrypto that hashlib/ssl already link is loadable, AES-CBC runs
+# through EVP instead — the /R 6 Algorithm-2.B password hash is
+# spec-mandated ≥64 chained CBC passes, ~0.3 s per derivation in pure
+# Python vs ~1 ms with AES-NI.  A differential test pins both paths to
+# identical bytes.
+# ---------------------------------------------------------------------------
+
+
+def _load_evp():
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        lib = ctypes.CDLL(name or "libcrypto.so")
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for sym in ("EVP_aes_128_cbc", "EVP_aes_256_cbc"):
+            getattr(lib, sym).restype = ctypes.c_void_p
+        for sym in ("EVP_EncryptInit_ex", "EVP_DecryptInit_ex"):
+            getattr(lib, sym).argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_char_p,
+            ]
+        for sym in ("EVP_EncryptUpdate", "EVP_DecryptUpdate"):
+            getattr(lib, sym).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int,
+            ]
+        for sym in ("EVP_EncryptFinal_ex", "EVP_DecryptFinal_ex"):
+            getattr(lib, sym).argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int),
+            ]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+        # smoke-check one round trip before trusting the handle
+        probe = _evp_cbc_with(lib, b"k" * 16, b"i" * 16, b"p" * 16, True)
+        if (
+            _evp_cbc_with(lib, b"k" * 16, b"i" * 16, probe, False)
+            != b"p" * 16
+        ):
+            return None
+        return lib
+    except Exception:
+        return None
+
+
+def _evp_cbc_with(lib, key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    import ctypes
+
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        raise PdfError("EVP context allocation failed")
+    try:
+        cipher = (
+            lib.EVP_aes_128_cbc() if len(key) == 16 else lib.EVP_aes_256_cbc()
+        )
+        init = lib.EVP_EncryptInit_ex if encrypt else lib.EVP_DecryptInit_ex
+        if not init(ctx, cipher, None, key, iv):
+            raise PdfError("EVP init failed")
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        n = ctypes.c_int(0)
+        upd = lib.EVP_EncryptUpdate if encrypt else lib.EVP_DecryptUpdate
+        if not upd(ctx, out, ctypes.byref(n), data, len(data)):
+            raise PdfError("EVP update failed")
+        total = n.value
+        fin = lib.EVP_EncryptFinal_ex if encrypt else lib.EVP_DecryptFinal_ex
+        tail = ctypes.create_string_buffer(16)
+        if not fin(ctx, tail, ctypes.byref(n)):
+            raise PdfError("EVP final failed")
+        return out.raw[:total] + tail.raw[: n.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
+_EVP = _load_evp()
+
+
 def _cbc_decrypt_nopad(key: bytes, iv: bytes, ct: bytes) -> bytes:
     """Raw CBC decryption, explicit IV, no padding removal — the shape
     ISO 32000-2 uses for /UE //OE (zero IV, exactly two blocks)."""
     if not ct or len(ct) % 16:
         raise PdfError("CBC payload not block-aligned")
+    if _EVP is not None:
+        return _evp_cbc_with(_EVP, key, iv, ct, False)
     rk = _expand_key(key)
     try:
         plain_ecb = _ecb_decrypt_np(ct, rk)
@@ -366,6 +459,8 @@ def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
     used by Algorithm 2.B's inner AES-128 step and the writer's /UE /OE."""
     if len(data) % 16:
         raise PdfError("CBC plaintext not block-aligned")
+    if _EVP is not None:
+        return _evp_cbc_with(_EVP, key, iv, data, True)
     rkw = _rk_words(_expand_key(key))
     out = bytearray()
     p0 = int.from_bytes(iv[:4], "big")

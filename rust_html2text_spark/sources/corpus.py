@@ -445,6 +445,77 @@ def robots_for_frontier(edges: DataFrame, target_col: str = "target") -> DataFra
     return hosts.mapInPandas(build, schema)
 
 
+def sitemap_xml_for_host(host: str, doc_ids: list[int]) -> str:
+    """Deterministic sitemap.xml (sitemaps.org urlset) for a corpus
+    host: one <url> per document with lane-conditional optional fields
+    (lastmod absent at doc_id%3==1, changefreq absent at %4==2,
+    priority absent at %5==3), plus one trailing query-string entry
+    whose loc carries an XML entity (&amp;) — the parser must expand
+    it.  Every field derives from doc_id arithmetic so a SQL oracle
+    can reconstruct the parsed rows without any XML machinery."""
+    lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
+    ]
+    for did in sorted(doc_ids):
+        lines.append("<url>")
+        lines.append(f"<loc>https://{host}/doc/{did}</loc>")
+        if did % 3 != 1:
+            lines.append(f"<lastmod>2026-01-{did % 28 + 1:02d}</lastmod>")
+        if did % 4 != 2:
+            freq = ("daily", "weekly", "monthly")[did % 3]
+            lines.append(f"<changefreq>{freq}</changefreq>")
+        if did % 5 != 3:
+            lines.append(f"<priority>{(did % 11) / 10:.1f}</priority>")
+        lines.append("</url>")
+    lines.append(
+        f"<url><loc>https://{host}/list?a=1&amp;b=2</loc></url>"
+    )
+    lines.append("</urlset>")
+    return "\n".join(lines) + "\n"
+
+
+def sitemaps_from_documents(docs: DataFrame) -> DataFrame:
+    """documents → one (host, sitemap_xml) row per source host — the
+    fetched-sitemap corpus the parser consumes (in production these
+    rows come from crawling the robots-declared sitemap URLs)."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    grouped = docs.groupBy("source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("sitemap_xml", StringType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import sys
+
+        _repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        from rust_html2text_spark.sources.corpus import sitemap_xml_for_host
+
+        for batch in batches:
+            hosts, xmls = [], []
+            for source, ids in zip(batch["source"], batch["ids"]):
+                host = f"www.{source}.example.com"
+                hosts.append(host)
+                xmls.append(sitemap_xml_for_host(host, [int(i) for i in ids]))
+            yield pd.DataFrame({"host": hosts, "sitemap_xml": xmls})
+
+    return grouped.mapInPandas(build, schema)
+
+
 def load_pages(
     spark: SparkSession,
     sf_dir: str,

@@ -1204,6 +1204,53 @@ def test_aes_fips197_known_answers():
     assert _ecb_decrypt_np(ct * 5, rk) == pt * 5
 
 
+def test_evp_and_pure_python_aes_agree():
+    """When the platform libcrypto is loadable, AES-CBC runs through
+    OpenSSL EVP; the from-scratch FIPS-197 cipher is the reference and
+    fallback.  Both paths must produce identical bytes for every entry
+    point (raw no-pad CBC both ways, PDF payload encrypt/decrypt, and
+    the 2.B hash built on them)."""
+    import random
+
+    import rust_html2text_spark.engine.pdfcrypt as pc
+
+    if pc._EVP is None:
+        pytest.skip("libcrypto not loadable on this platform")
+    evp = pc._EVP
+    rng = random.Random(20260817)
+    try:
+        for trial in range(24):
+            key = bytes(
+                rng.randrange(256) for _ in range(16 if trial % 2 else 32)
+            )
+            iv = bytes(rng.randrange(256) for _ in range(16))
+            data = bytes(
+                rng.randrange(256) for _ in range(16 * rng.randint(1, 6))
+            )
+            loose = data[: rng.randrange(1, len(data))]  # unaligned for cbc+pad
+            pc._EVP = None
+            pure = (
+                pc._cbc_encrypt_nopad(key, iv, data),
+                pc._cbc_decrypt_nopad(key, iv, data),
+                pc.aes_cbc_encrypt(key, iv, loose),
+            )
+            pure_rt = pc.aes_cbc_decrypt(key, pure[2])
+            pc._EVP = evp
+            fast = (
+                pc._cbc_encrypt_nopad(key, iv, data),
+                pc._cbc_decrypt_nopad(key, iv, data),
+                pc.aes_cbc_encrypt(key, iv, loose),
+            )
+            fast_rt = pc.aes_cbc_decrypt(key, fast[2])
+            assert pure == fast and pure_rt == fast_rt == loose, trial
+        pc._EVP = None
+        slow_hash = pc._hash_2b(b"pw", b"saltsalt", b"u" * 48)
+        pc._EVP = evp
+        assert pc._hash_2b(b"pw", b"saltsalt", b"u" * 48) == slow_hash
+    finally:
+        pc._EVP = evp
+
+
 def test_aes256_lanes_decrypt_to_identical_text():
     """AES-256 empty-user-password lanes (/R 6 via Algorithm 2.B at
     doc_id%360==11, /R 5 SHA-256 on the rest of the %18==11 lane) must

@@ -411,3 +411,50 @@ def test_frontier_schedule_crawl_delay_and_sitemaps(spark):
     for r in got:
         delay = {"slow.example": 5.0}.get(r["host"], 1.0)
         assert r["fetch_at_secs"] == r["fetch_wave"] * delay, r
+
+
+def test_robots_gate_and_schedule_plan_shape(spark, tmp_path):
+    """Plan-shape pins for the crawl-frontier path, over parquet-backed
+    edges (so the synthetic corpus's own Python synthesis stays out of
+    the measured plan): per-edge work stays in whole-stage codegen.
+    The only Python nodes the gate adds are the per-host robots corpus
+    build + rules parse (mapInPandas over one tiny row per host); the
+    edge-side match is codegen LIKE inside the join.  The scheduler
+    adds one window and one host-policy parse — still zero Python on
+    edges."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        frontier_schedule,
+        robots_host_policy,
+        robots_rules,
+    )
+    from rust_html2text_spark.sources.corpus import robots_for_frontier
+
+    import __spark_entry__ as entry
+
+    epath = str(tmp_path / "edges.parquet")
+    entry.q_crawl_frontier(spark, "/root/testdata/sf0.001").write.parquet(
+        epath
+    )
+    edges = spark.read.parquet(epath)
+    robots = robots_for_frontier(edges)
+    gated = frontier_allowed(edges, robots_rules(robots, agent="x-bot"))
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # regression = a per-edge Python matcher showing up on the edge side
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") <= 2  # robots corpus + rules parse
+
+    policy = robots_host_policy(robots, agent="x-bot")
+    sched = frontier_schedule(
+        gated.filter("allowed").select("url", "target", "kind"),
+        per_host_per_wave=2,
+        host_buckets=8,
+        host_policy=policy,
+    )
+    splan = sched._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in splan and "BatchEvalPython" not in splan
+    assert "Window" in splan
+    # + host-policy parse over its own corpus-build branch (the policy
+    # join itself is left to Spark: AQE size-based broadcast is correct
+    # here and degrades to a shuffle join when the host table is big)
+    assert splan.count("MapInPandas") <= 4

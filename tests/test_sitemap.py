@@ -1,0 +1,140 @@
+"""Sitemap parsing (functions/sitemap.py): sitemaps.org urlset /
+sitemapindex semantics, field validation, the 50k-URL protocol cap,
+entity expansion through the house XML parser, and Spark parity."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from rust_html2text_spark.functions.sitemap import (  # noqa: E402
+    MAX_SITEMAP_URLS,
+    parse_sitemap,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>https://h.example/a</loc><lastmod>2026-01-02</lastmod>
+<changefreq>WEEKLY</changefreq><priority>0.8</priority></url>
+<url><loc>https://h.example/b?x=1&amp;y=2</loc></url>
+<url><lastmod>2026-02-02</lastmod></url>
+<url><loc>https://h.example/c</loc><changefreq>sometimes</changefreq>
+<priority>1.5</priority></url>
+<url><loc>https://h.example/d</loc><priority>not-a-number</priority></url>
+</urlset>
+"""
+
+
+def test_urlset_fields_and_validation():
+    sm = parse_sitemap(URLSET)
+    assert sm.kind == "urlset" and sm.truncated is False
+    # the loc-less entry is dropped (loc is the only required field)
+    assert [e.loc for e in sm.entries] == [
+        "https://h.example/a",
+        "https://h.example/b?x=1&y=2",  # entity expanded
+        "https://h.example/c",
+        "https://h.example/d",
+    ]
+    a, b, c, d = sm.entries
+    assert a.lastmod == "2026-01-02"
+    assert a.changefreq == "weekly"  # case-normalized
+    assert a.priority == 0.8
+    assert b.lastmod is None and b.priority is None
+    # invalid changefreq vocab / out-of-range or non-numeric priority
+    # degrade to None, never drop the entry
+    assert c.changefreq is None and c.priority is None
+    assert d.priority is None
+
+
+def test_sitemapindex_kind():
+    xml = (
+        "<sitemapindex><sitemap><loc>https://h.example/sm1.xml.gz</loc>"
+        "<lastmod>2026-03-01</lastmod></sitemap>"
+        "<sitemap><loc>https://h.example/sm2.xml.gz</loc></sitemap>"
+        "<url><loc>https://ignored.example/</loc></url>"
+        "</sitemapindex>"
+    )
+    sm = parse_sitemap(xml)
+    assert sm.kind == "sitemapindex"
+    assert [e.loc for e in sm.entries] == [
+        "https://h.example/sm1.xml.gz",
+        "https://h.example/sm2.xml.gz",
+    ]
+    assert sm.entries[0].lastmod == "2026-03-01"
+
+
+def test_namespace_prefixed_elements():
+    xml = (
+        '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sm:url><sm:loc>https://h.example/p</sm:loc></sm:url></sm:urlset>"
+    )
+    sm = parse_sitemap(xml)
+    assert sm is not None and [e.loc for e in sm.entries] == [
+        "https://h.example/p"
+    ]
+
+
+def test_non_sitemap_documents_return_none():
+    assert parse_sitemap("<html><body>hi</body></html>") is None
+    assert parse_sitemap("not xml at all <<<") is None
+    assert parse_sitemap("") is None
+
+
+def test_url_cap_sets_truncated():
+    assert MAX_SITEMAP_URLS == 50_000  # the published protocol limit
+    body = "".join(
+        f"<url><loc>https://h.example/p{i}</loc></url>" for i in range(40)
+    )
+    sm = parse_sitemap(f"<urlset>{body}</urlset>", max_urls=25)
+    assert sm.truncated is True
+    assert len(sm.entries) == 25
+    assert sm.entries[-1].loc == "https://h.example/p24"
+    full = parse_sitemap(f"<urlset>{body}</urlset>")
+    assert full.truncated is False and len(full.entries) == 40
+
+
+def test_spark_entries_match_scalar_parser(spark):
+    """sitemap_entries == per-row parse_sitemap over the corpus, and
+    unparseable/NULL rows emit nothing."""
+    from rust_html2text_spark.functions.sitemap import sitemap_entries
+    from rust_html2text_spark.sources.corpus import (
+        load_documents,
+        sitemaps_from_documents,
+    )
+
+    sitemaps = sitemaps_from_documents(
+        load_documents(spark, "/root/testdata/sf0.001")
+    )
+    raw = {r["host"]: r["sitemap_xml"] for r in sitemaps.collect()}
+    got = sitemap_entries(sitemaps).collect()
+    want = []
+    for host, xml in raw.items():
+        sm = parse_sitemap(xml)
+        for i, e in enumerate(sm.entries, start=1):
+            want.append((host, sm.kind, i, e.loc, e.lastmod,
+                         e.changefreq, e.priority, sm.truncated))
+    assert sorted(
+        (r["host"], r["sitemap_kind"], r["ordinal"], r["loc"],
+         r["lastmod"], r["changefreq"], r["priority"], r["truncated"])
+        for r in got
+    ) == sorted(want)
+    assert len(want) > 500  # the corpus genuinely exploded
+
+    bad = spark.createDataFrame(
+        [("h1", "<html>nope</html>"), ("h2", None)],
+        "host string, sitemap_xml string",
+    )
+    assert sitemap_entries(bad).count() == 0
