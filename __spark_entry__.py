@@ -793,6 +793,31 @@ def q_media_resize(spark, sf_dir):
     )
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop closed: sitemap-discovered URLs become frontier
+    edges and go BACK through the robots gate — a publisher's sitemap
+    routinely lists URLs its own robots.txt disallows (the corpus's
+    `/up/` lane), and a polite crawler must catch them before
+    scheduling.  Edge shape matches the page-link frontier: (url =
+    the sitemap document, target = the discovered loc,
+    kind='sitemap-url')."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_rules,
+    )
+    from rust_html2text_spark.sources.corpus import robots_for_frontier
+
+    edges = q_sitemap_urls(spark, sf_dir).select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias(
+            "url"
+        ),
+        F.col("loc").alias("target"),
+        F.lit("sitemap-url").alias("kind"),
+    )
+    robots = robots_for_frontier(edges)
+    return frontier_allowed(edges, robots_rules(robots, agent="spark-graft-bot"))
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fetched sitemap.xml documents parsed into frontier rows via the
     house XML parser: one (host, sitemap) row per source host, exploded
@@ -1010,6 +1035,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "events_by_type": q_events_by_type,
         "media_resize": q_media_resize,
+        # loop-closure companion to the gated sitemap_urls + robots
+        # gate: sitemap locs re-gated through the same rules
+        "sitemap_frontier": q_sitemap_frontier,
     }
 
 
@@ -1258,14 +1286,9 @@ def oracle_sql() -> dict[str, str]:
         f"THEN '/' || regexp_extract(target, '{path_re}', 1) "
         f"ELSE regexp_extract(target, '{path_re}', 1) END"
     )
-    robots_frontier_sql = f"""
-        WITH edges AS ({frontier_sql}),
-        e AS (
-            SELECT row_number() OVER () AS eid, url, target, kind,
-                   regexp_extract(target, '{host_re}', 1) AS host,
-                   {path_case} AS path
-            FROM edges
-        ),
+    # the deterministic rule set + longest-match argmax, shared by every
+    # gate replica (rules derive per host from the `hosts` CTE in scope)
+    gate_tail = f"""
         hosts AS (SELECT DISTINCT host FROM e),
         rules AS (
             SELECT host, '/up/' AS pattern, '/up/%' AS plike,
@@ -1296,6 +1319,17 @@ def oracle_sql() -> dict[str, str]:
                coalesce(best.allow = 1, TRUE) AS allowed,
                best.pattern AS matched_rule
         FROM agg
+    """
+
+    robots_frontier_sql = f"""
+        WITH edges AS ({frontier_sql}),
+        e AS (
+            SELECT row_number() OVER () AS eid, url, target, kind,
+                   regexp_extract(target, '{host_re}', 1) AS host,
+                   {path_case} AS path
+            FROM edges
+        ),
+        {gate_tail}
     """
 
     # schedule replica: allowed edges + per-host sitemap edges (every
@@ -1357,7 +1391,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         )
         SELECT host, 'urlset' AS sitemap_kind, CAST(ordinal AS INT) AS ordinal,
-               'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+               'https://' || host ||
+               CASE WHEN doc_id % 6 = 0 THEN '/up/' ELSE '/doc/' END ||
+               CAST(doc_id AS VARCHAR) AS loc,
                CASE WHEN doc_id % 3 != 1
                     THEN '2026-01-' ||
                          lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
@@ -1378,11 +1414,30 @@ def oracle_sql() -> dict[str, str]:
         FROM per_host
     """
 
+    # loop-closure replica: sitemap locs as edges, re-gated through the
+    # same deterministic rule set (the /up/ lane must come out blocked)
+    sitemap_frontier_sql = f"""
+        WITH sm AS ({sitemap_urls_sql}),
+        edges AS (
+            SELECT 'https://' || host || '/sitemap.xml' AS url,
+                   loc AS target, 'sitemap-url' AS kind
+            FROM sm
+        ),
+        e AS (
+            SELECT row_number() OVER () AS eid, url, target, kind,
+                   regexp_extract(target, '{host_re}', 1) AS host,
+                   {path_case} AS path
+            FROM edges
+        ),
+        {gate_tail}
+    """
+
     return {
         "render_flagship": f"SELECT url, text, error FROM ({_RENDERED})",
         "robots_frontier": robots_frontier_sql,
         "frontier_schedule": frontier_schedule_sql,
         "sitemap_urls": sitemap_urls_sql,
+        "sitemap_frontier": sitemap_frontier_sql,
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "

@@ -98,6 +98,12 @@ def parse_sitemap(
             break
     if root is None:
         return None
+    import re
+
+    # sitemaps.org: <loc> "must begin with the protocol" and be under
+    # 2,048 characters — relative or oversized locs are not fetchable
+    # frontier targets and are dropped like loc-less entries
+    loc_ok = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://\S+$")
     kind = _local(root.name)
     child_tag = "url" if kind == "urlset" else "sitemap"
     entries: list[SitemapEntry] = []
@@ -127,8 +133,8 @@ def parse_sitemap(
                     continue
                 if 0.0 <= p <= 1.0:
                     priority = p
-        if not loc:
-            continue  # loc is the one REQUIRED field
+        if not loc or len(loc) >= 2048 or not loc_ok.match(loc):
+            continue  # loc is the one REQUIRED field, and must be absolute
         if len(entries) >= max_urls:
             truncated = True
             break

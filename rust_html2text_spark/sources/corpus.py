@@ -451,15 +451,19 @@ def sitemap_xml_for_host(host: str, doc_ids: list[int]) -> str:
     (lastmod absent at doc_id%3==1, changefreq absent at %4==2,
     priority absent at %5==3), plus one trailing query-string entry
     whose loc carries an XML entity (&amp;) — the parser must expand
-    it.  Every field derives from doc_id arithmetic so a SQL oracle
-    can reconstruct the parsed rows without any XML machinery."""
+    it.  Every sixth document is listed under `/up/` — a URL the same
+    host's robots.txt DISALLOWS (publishers list robots-blocked URLs in
+    sitemaps constantly; the downstream gate must catch them).  Every
+    field derives from doc_id arithmetic so a SQL oracle can
+    reconstruct the parsed rows without any XML machinery."""
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
     ]
     for did in sorted(doc_ids):
+        path = "up" if did % 6 == 0 else "doc"
         lines.append("<url>")
-        lines.append(f"<loc>https://{host}/doc/{did}</loc>")
+        lines.append(f"<loc>https://{host}/{path}/{did}</loc>")
         if did % 3 != 1:
             lines.append(f"<lastmod>2026-01-{did % 28 + 1:02d}</lastmod>")
         if did % 4 != 2:

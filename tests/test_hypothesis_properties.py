@@ -166,14 +166,22 @@ def test_aes_cbc_round_trip(key, iv, data):
 @given(
     st.binary(min_size=0, max_size=24),
     st.binary(min_size=16, max_size=16),
-    st.sampled_from([(2, 40, "RC4"), (3, 128, "RC4"), (4, 128, "AESV2")]),
+    st.sampled_from(
+        [
+            (2, 40, "RC4"),
+            (3, 128, "RC4"),
+            (4, 128, "AESV2"),
+            (5, 256, "AESV3"),
+            (6, 256, "AESV3"),
+        ]
+    ),
     st.binary(min_size=0, max_size=200),
 )
 def test_writer_reader_handler_symmetry(owner_pw, id0, lane, payload):
-    """Whatever the writer derives (O/U/key per Algorithms 2-5), the
-    reader verifies the empty user password against it and per-object
-    decryption inverts per-object encryption — for every revision/
-    cipher lane and arbitrary owner passwords."""
+    """Whatever the writer derives (O/U/key per Algorithms 2-5, or the
+    ISO 32000-2 U/UE/O/OE set for /R 5-6), the reader verifies the
+    empty user password against it and decryption inverts encryption —
+    for every revision/cipher lane and arbitrary owner passwords."""
     from rust_html2text_spark.engine.pdfcrypt import (
         StandardSecurityHandler,
         WriterCrypt,
@@ -196,8 +204,9 @@ def test_writer_reader_handler_symmetry(owner_pw, id0, lane, payload):
     h = StandardSecurityHandler(enc, id0)
     assert h.key == w.key
     assert h.decrypt(w.encrypt(payload, 12, 0), 12, 0) == payload
-    # a different object's key must not decrypt it
-    if payload:
+    # a different object's key must not decrypt it (/V 5 excepted: the
+    # file key is used directly, per-object keys do not exist there)
+    if payload and r < 5:
         from rust_html2text_spark.engine.pdfparse import PdfError
 
         try:
@@ -237,3 +246,49 @@ def test_parse_robots_rules_never_raises(txt, agent):
     for pattern, allow in rules:
         assert allow in (0, 1)
         _pattern_to_like(pattern)  # translation never raises either
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet="Uusera-gnt:AlowDi/*$%_\\ \t\n#\r日CwdlySmphx.e0123456789",
+        min_size=0,
+        max_size=300,
+    ),
+    st.sampled_from(["*", "spark-graft-bot", "x"]),
+)
+def test_parse_robots_policy_invariants(txt, agent):
+    """The full policy parse (rules + Crawl-delay + Sitemap + caps)
+    never raises, is deterministic, and its bounds always hold."""
+    from rust_html2text_spark.functions.robots import parse_robots
+
+    pol = parse_robots(txt, agent, max_bytes=200, max_rules=5)
+    assert pol == parse_robots(txt, agent, max_bytes=200, max_rules=5)
+    assert len(pol.rules) <= 5
+    assert pol.crawl_delay is None or pol.crawl_delay >= 0
+    assert all(isinstance(s, str) and s for s in pol.sitemaps)
+    if len(txt) > 200 or len(parse_robots(txt, agent).rules) > 5:
+        assert pol.truncated
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet="<>/urlsetmapindxoc&;#!?=abch:.091- \n\t\"'日",
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_parse_sitemap_never_raises(txt):
+    """Arbitrary text through the sitemap parser: None or a bounded,
+    deterministic Sitemap — never an exception."""
+    from rust_html2text_spark.functions.sitemap import parse_sitemap
+
+    sm = parse_sitemap(txt, max_urls=7)
+    assert sm == parse_sitemap(txt, max_urls=7)
+    if sm is not None:
+        assert sm.kind in ("urlset", "sitemapindex")
+        assert len(sm.entries) <= 7
+        for e in sm.entries:
+            assert e.loc
+            assert e.priority is None or 0.0 <= e.priority <= 1.0

@@ -59,6 +59,22 @@ def test_urlset_fields_and_validation():
     assert d.priority is None
 
 
+def test_loc_must_be_absolute_and_bounded():
+    """sitemaps.org: loc must begin with the protocol and stay under
+    2,048 chars — relative / scheme-less / oversized locs drop."""
+    long_loc = "https://h.example/" + "x" * 2048
+    xml = (
+        "<urlset>"
+        "<url><loc>/relative/path</loc></url>"
+        "<url><loc>h.example/no-scheme</loc></url>"
+        f"<url><loc>{long_loc}</loc></url>"
+        "<url><loc>https://h.example/kept</loc></url>"
+        "</urlset>"
+    )
+    sm = parse_sitemap(xml)
+    assert [e.loc for e in sm.entries] == ["https://h.example/kept"]
+
+
 def test_sitemapindex_kind():
     xml = (
         "<sitemapindex><sitemap><loc>https://h.example/sm1.xml.gz</loc>"
