@@ -31,13 +31,52 @@ from typing import NamedTuple, Optional
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "decode_sitemap",
     "parse_sitemap",
     "sitemap_entries",
     "MAX_SITEMAP_URLS",
+    "MAX_SITEMAP_BYTES",
 ]
 
 # sitemaps.org: "A Sitemap file can contain no more than 50,000 URLs"
 MAX_SITEMAP_URLS = 50_000
+# sitemaps.org: "and must be no larger than 50MB (52,428,800 bytes)"
+# uncompressed — also the decompression budget for .xml.gz payloads
+# (a gzip bomb becomes a skipped document, never an executor OOM)
+MAX_SITEMAP_BYTES = 50 * 1024 * 1024
+
+
+def decode_sitemap(
+    data, max_bytes: int = MAX_SITEMAP_BYTES
+) -> Optional[str]:
+    """Fetched sitemap payload → text.  Sitemaps are published both
+    plain and gzip-compressed (`sitemap.xml.gz`); gzip is sniffed by
+    magic bytes and decompressed under `max_bytes` (the protocol's own
+    50 MB uncompressed limit doubles as the bomb budget).  Returns None
+    for undecodable payloads.  Str input passes through."""
+    if data is None:
+        return None
+    if isinstance(data, str):
+        return data if len(data) <= max_bytes else None
+    data = bytes(data)
+    if data[:2] == b"\x1f\x8b":
+        import zlib
+
+        try:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out = d.decompress(data, max_bytes)
+            if d.unconsumed_tail:  # budget hit mid-stream: bomb
+                return None
+            if not d.eof:  # truncated stream (no error, just incomplete)
+                return None
+        except zlib.error:
+            return None
+        data = out
+    if len(data) > max_bytes:
+        return None
+    if data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]
+    return data.decode("utf-8", "replace")
 
 _CHANGEFREQS = frozenset(
     "always hourly daily weekly monthly yearly never".split()
@@ -78,12 +117,18 @@ def _local(name: Optional[str]) -> str:
 def parse_sitemap(
     xml: str, max_urls: int = MAX_SITEMAP_URLS
 ) -> Optional[Sitemap]:
-    """Parse one sitemap document.  Returns None when the document has
-    no <urlset>/<sitemapindex> root (not a sitemap; a crawler skips
-    it).  Invalid optional fields degrade to None rather than dropping
-    the entry: a bad <priority> must not cost the crawler the <loc>."""
+    """Parse one sitemap document (str, or raw fetched bytes — possibly
+    gzipped — via :func:`decode_sitemap`).  Returns None when the
+    document has no <urlset>/<sitemapindex> root (not a sitemap; a
+    crawler skips it).  Invalid optional fields degrade to None rather
+    than dropping the entry: a bad <priority> must not cost the crawler
+    the <loc>."""
     from rust_html2text_spark.engine.xmlparse import parse_xml
 
+    if not isinstance(xml, str):
+        xml = decode_sitemap(xml)
+        if xml is None:
+            return None
     try:
         dom = parse_xml(xml)
     except Exception:

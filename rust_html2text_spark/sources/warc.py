@@ -507,6 +507,42 @@ def write_warc_file(
     return n
 
 
+def robots_from_warc(pages, url_col: str = "url", body_col: str = "html"):
+    """Fetched `/robots.txt` responses in a WARC-sourced pages frame →
+    the (host, robots_txt) corpus the frontier gate consumes
+    (functions/robots.robots_rules / robots_host_policy) — the
+    PRODUCTION source for the gate, replacing the synthetic corpus the
+    test queries derive from the frontier's host set.
+
+    Selection is by URL shape (scheme://host/robots.txt, REP's fixed
+    well-known location); when a host was fetched more than once the
+    LATEST capture wins (deterministic: max by (warc_ts, body)).  The
+    body decodes as UTF-8 with replacement — robots.txt is ASCII in
+    practice and the parser ignores unparseable lines.  Size caps live
+    in the parser (RFC 9309 §2.5), not here.  One narrow filter + one
+    host-keyed aggregation; no Python."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.robots import HOST_RE, PATH_RE
+
+    host = F.regexp_extract(F.col(url_col), HOST_RE, 1)
+    path = F.regexp_extract(F.col(url_col), PATH_RE, 1)
+    picked = (
+        pages.filter(
+            (path == "/robots.txt") & (host != "") & F.col(body_col).isNotNull()
+        )
+        .select(
+            host.alias("host"),
+            F.struct(
+                F.col("warc_ts"), F.decode(body_col, "UTF-8").alias("txt")
+            ).alias("_cap"),
+        )
+        .groupBy("host")
+        .agg(F.max("_cap").alias("_cap"))
+    )
+    return picked.select("host", F.col("_cap.txt").alias("robots_txt"))
+
+
 # ---------------------------------------------------------------------------
 # WET (extracted-text conversion records) — Common Crawl's output format
 # ---------------------------------------------------------------------------

@@ -458,3 +458,68 @@ def test_robots_gate_and_schedule_plan_shape(spark, tmp_path):
     # join itself is left to Spark: AQE size-based broadcast is correct
     # here and degrades to a shuffle join when the host table is big)
     assert splan.count("MapInPandas") <= 4
+
+
+def test_robots_from_warc_feeds_the_gate(spark, tmp_path):
+    """Production wiring: robots.txt fetched as ordinary WARC response
+    records → (host, robots_txt) corpus → the frontier gate.  Latest
+    capture per host wins; non-robots URLs are ignored; the gate blocks
+    per the fetched (not synthetic) rules."""
+    from datetime import datetime
+
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_host_policy,
+        robots_rules,
+    )
+    from rust_html2text_spark.sources.warc import (
+        read_warc_pages,
+        robots_from_warc,
+        write_warc_file,
+    )
+
+    p = str(tmp_path / "crawl.warc.gz")
+    old = b"User-agent: *\nDisallow: /\n"
+    new = (
+        b"User-agent: *\nDisallow: /private/\n"
+        b"Crawl-delay: 4\nSitemap: https://a.example/sm.xml\n"
+    )
+    write_warc_file(
+        p,
+        [
+            ("https://a.example/robots.txt", datetime(2026, 1, 1), old),
+            ("https://a.example/robots.txt", datetime(2026, 2, 1), new),
+            ("https://b.example/robots.txt", datetime(2026, 1, 5),
+             b"User-agent: *\nDisallow: /x\n"),
+            ("https://a.example/page", datetime(2026, 1, 2),
+             b"<html><body>not robots</body></html>"),
+        ],
+    )
+    robots = robots_from_warc(read_warc_pages(spark, [p]))
+    got = {r["host"]: r["robots_txt"] for r in robots.collect()}
+    assert set(got) == {"a.example", "b.example"}
+    assert "Disallow: /private/" in got["a.example"]  # latest capture won
+    assert "Disallow: /\n" not in got["a.example"]
+
+    edges = spark.createDataFrame(
+        [
+            ("u", "https://a.example/private/p", "html"),
+            ("u", "https://a.example/ok", "html"),
+            ("u", "https://b.example/x1", "html"),
+        ],
+        "url string, target string, kind string",
+    )
+    verdicts = {
+        r["target"]: r["allowed"]
+        for r in frontier_allowed(
+            edges, robots_rules(robots, agent="spark-graft-bot")
+        ).collect()
+    }
+    assert verdicts == {
+        "https://a.example/private/p": False,
+        "https://a.example/ok": True,
+        "https://b.example/x1": False,
+    }
+    pol = {r["host"]: r for r in robots_host_policy(robots).collect()}
+    assert pol["a.example"]["crawl_delay"] == 4.0
+    assert list(pol["a.example"]["sitemaps"]) == ["https://a.example/sm.xml"]

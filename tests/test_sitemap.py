@@ -154,3 +154,25 @@ def test_spark_entries_match_scalar_parser(spark):
         "host string, sitemap_xml string",
     )
     assert sitemap_entries(bad).count() == 0
+
+
+def test_decode_sitemap_gzip_and_bom():
+    import gzip
+
+    from rust_html2text_spark.functions.sitemap import (
+        decode_sitemap,
+        parse_sitemap,
+    )
+
+    xml = '<urlset><url><loc>https://h.example/a</loc></url></urlset>'
+    gz = gzip.compress(("﻿" + xml).encode("utf-8"), mtime=0)
+    # bytes in (gzipped, BOM'd) -> same parse as the plain string
+    assert parse_sitemap(gz).entries == parse_sitemap(xml).entries
+    assert decode_sitemap(xml) == xml  # str passthrough
+    assert decode_sitemap(None) is None
+    # a gzip bomb is rejected under the budget, not inflated
+    bomb = gzip.compress(b"<urlset>" + b"A" * 4_000_000, mtime=0)
+    assert decode_sitemap(bomb, max_bytes=1_000_000) is None
+    # truncated/garbage gzip is None, never an exception
+    assert decode_sitemap(gz[:10]) is None
+    assert decode_sitemap(b"\x1f\x8b\x00junk") is None
