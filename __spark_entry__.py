@@ -837,6 +837,17 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sitemaps)
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl queue over the parsed sitemap entries:
+    due_cycles = age since lastmod in declared-changefreq units
+    (clamped, lastmod-less entries due now), weighted by the
+    publisher's <priority>.  Pure codegen; `now` is pinned so the
+    oracle can reproduce the arithmetic exactly."""
+    from rust_html2text_spark.functions.sitemap import recrawl_priority
+
+    return recrawl_priority(q_sitemap_urls(spark, sf_dir))
+
+
 # --- relational layer (join/agg/window on the star schema) ----------------------
 
 
@@ -1038,6 +1049,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # loop-closure companion to the gated sitemap_urls + robots
         # gate: sitemap locs re-gated through the same rules
         "sitemap_frontier": q_sitemap_frontier,
+        "recrawl_priority": q_recrawl_priority,
     }
 
 
@@ -1438,6 +1450,33 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": frontier_schedule_sql,
         "sitemap_urls": sitemap_urls_sql,
         "sitemap_frontier": sitemap_frontier_sql,
+        "recrawl_priority": f"""
+            WITH sm AS ({sitemap_urls_sql}),
+            x AS (
+                SELECT host, loc, lastmod, changefreq, priority,
+                       CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') -
+                            epoch(CAST(lastmod AS TIMESTAMP))
+                            AS DOUBLE) AS age_secs,
+                       CASE changefreq
+                            WHEN 'daily' THEN CAST(86400 AS DOUBLE)
+                            WHEN 'weekly' THEN CAST(604800 AS DOUBLE)
+                            WHEN 'monthly' THEN CAST(2592000 AS DOUBLE)
+                            ELSE CAST(604800 AS DOUBLE) END AS freq
+                FROM sm
+            )
+            SELECT host, loc, lastmod, changefreq, priority, age_secs,
+                   CASE WHEN age_secs IS NULL THEN CAST(1.0 AS DOUBLE)
+                        ELSE least(greatest(age_secs / freq,
+                                            CAST(0 AS DOUBLE)),
+                                   CAST(10 AS DOUBLE)) END AS due_cycles,
+                   (CASE WHEN age_secs IS NULL THEN CAST(1.0 AS DOUBLE)
+                         ELSE least(greatest(age_secs / freq,
+                                             CAST(0 AS DOUBLE)),
+                                    CAST(10 AS DOUBLE)) END
+                    * coalesce(priority, CAST(0.5 AS DOUBLE)))
+                       AS recrawl_score
+            FROM x
+        """,
         "extract_main": (
             "SELECT g.url, g.main_text AS text, g.main_error AS error, "
             "g.main_winner_tag AS winner_tag, g.main_score AS score "

@@ -34,6 +34,7 @@ __all__ = [
     "decode_sitemap",
     "parse_sitemap",
     "sitemap_entries",
+    "recrawl_priority",
     "MAX_SITEMAP_URLS",
     "MAX_SITEMAP_BYTES",
 ]
@@ -242,4 +243,74 @@ def sitemap_entries(
 
     return sitemaps.select(host_col, xml_col).mapInPandas(
         parse, ENTRIES_SCHEMA
+    )
+
+
+# seconds per <changefreq> bucket — 'never' pages still get a slow
+# revisit lane (pages claiming never still change; a crawler that takes
+# the publisher literally forever serves stale forever)
+_FREQ_SECS = {
+    "always": 3600,
+    "hourly": 3600,
+    "daily": 86400,
+    "weekly": 604800,
+    "monthly": 2592000,
+    "yearly": 31536000,
+    "never": 4 * 31536000,
+}
+
+
+def recrawl_priority(
+    entries: DataFrame,
+    now: str = "2026-03-01 00:00:00",
+    default_changefreq_secs: int = 604800,
+    default_priority: float = 0.5,
+) -> DataFrame:
+    """Freshness-driven recrawl scoring over parsed sitemap entries
+    (:func:`sitemap_entries` output): adds
+
+      age_secs      seconds since <lastmod> at `now` (NULL when the
+                    publisher gave no lastmod — unknown-age pages rank
+                    by the due-cycle midpoint instead of a fake age)
+      due_cycles    age / changefreq-interval, clamped to [0, 10] (one
+                    unit = "exactly one declared change interval has
+                    passed"); lastmod-less entries score 1.0 (due now,
+                    but never starving dated entries)
+      recrawl_score due_cycles × <priority> (publisher weight,
+                    default 0.5) — ORDER BY recrawl_score DESC is the
+                    recrawl queue
+
+    Everything is whole-stage codegen (a CASE over the changefreq
+    vocabulary + timestamp arithmetic); `now` is an explicit argument —
+    never wall-clock — so runs are deterministic and oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    freq = F.coalesce(
+        *[
+            F.when(F.col("changefreq") == k, F.lit(v))
+            for k, v in _FREQ_SECS.items()
+        ],
+        F.lit(default_changefreq_secs),
+    ).cast("double")
+    # lastmod is date-only ('2026-01-05') or W3C datetime; try both
+    lm = F.coalesce(
+        F.to_timestamp(F.col("lastmod"), "yyyy-MM-dd"),
+        F.to_timestamp(F.col("lastmod")),
+    )
+    age = (
+        F.unix_timestamp(F.lit(now)) - F.unix_timestamp(lm)
+    ).cast("double")
+    due = F.when(
+        age.isNull(), F.lit(1.0)
+    ).otherwise(F.least(F.greatest(age / freq, F.lit(0.0)), F.lit(10.0)))
+    return entries.select(
+        "host",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+        age.alias("age_secs"),
+        due.alias("due_cycles"),
+        (due * F.coalesce(F.col("priority"), F.lit(float(default_priority))))
+        .alias("recrawl_score"),
     )

@@ -176,3 +176,44 @@ def test_decode_sitemap_gzip_and_bom():
     # truncated/garbage gzip is None, never an exception
     assert decode_sitemap(gz[:10]) is None
     assert decode_sitemap(b"\x1f\x8b\x00junk") is None
+
+
+def test_recrawl_priority_semantics(spark):
+    """due_cycles: lastmod-less entries score exactly 1.0; fresh pages
+    near 0; long-stale pages clamp at 10; the publisher <priority>
+    scales the final score; 'never' still gets a (slow) revisit lane."""
+    from rust_html2text_spark.functions.sitemap import recrawl_priority
+
+    entries = spark.createDataFrame(
+        [
+            ("h", "urlset", 1, "https://h/x1", None, "daily", 0.8, False),
+            ("h", "urlset", 2, "https://h/x2", "2026-02-28", "daily",
+             1.0, False),
+            ("h", "urlset", 3, "https://h/x3", "2020-01-01", "daily",
+             0.2, False),
+            ("h", "urlset", 4, "https://h/x4", "2026-02-01", None,
+             None, False),
+            ("h", "urlset", 5, "https://h/x5", "2020-01-01", "never",
+             1.0, False),
+        ],
+        "host string, sitemap_kind string, ordinal int, loc string, "
+        "lastmod string, changefreq string, priority double, "
+        "truncated boolean",
+    )
+    got = {
+        r["loc"]: r
+        for r in recrawl_priority(entries, now="2026-03-01 00:00:00").collect()
+    }
+    assert got["https://h/x1"]["age_secs"] is None
+    assert got["https://h/x1"]["due_cycles"] == 1.0
+    assert got["https://h/x1"]["recrawl_score"] == 0.8
+    assert got["https://h/x2"]["due_cycles"] == 1.0  # exactly one day old
+    assert got["https://h/x3"]["due_cycles"] == 10.0  # clamped
+    assert got["https://h/x3"]["recrawl_score"] == 2.0
+    # no changefreq -> default weekly; no priority -> 0.5 weight
+    x4 = got["https://h/x4"]
+    assert x4["due_cycles"] == x4["age_secs"] / 604800
+    assert x4["recrawl_score"] == x4["due_cycles"] * 0.5
+    # 'never' is a slow lane, not a dead one
+    x5 = got["https://h/x5"]
+    assert 0.0 < x5["due_cycles"] < 10.0
