@@ -837,6 +837,25 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sitemaps)
 
 
+def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index → fetch plan: parse the capture index (codegen
+    from_json over `urlkey SP timestamp SP json` lines), keep 200s of
+    fetchable mimes, dedupe identical payloads by content digest
+    (latest capture wins via struct argmax), and emit the (filename,
+    offset)-ordered plan a WARC range-reader consumes.  The corpus
+    carries two captures per doc + 404/xml lanes so every selection
+    branch does real work."""
+    from rust_html2text_spark.sources.cdx import (
+        cdx_lines_from_documents,
+        parse_cdx_lines,
+        select_fetches,
+    )
+    from rust_html2text_spark.sources.corpus import load_documents
+
+    lines = cdx_lines_from_documents(load_documents(spark, sf_dir))
+    return select_fetches(parse_cdx_lines(lines))
+
+
 def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl queue over the parsed sitemap entries:
     due_cycles = age since lastmod in declared-changefreq units
@@ -1050,6 +1069,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate: sitemap locs re-gated through the same rules
         "sitemap_frontier": q_sitemap_frontier,
         "recrawl_priority": q_recrawl_priority,
+        "cdx_fetch_plan": q_cdx_fetch_plan,
     }
 
 
@@ -1450,6 +1470,27 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": frontier_schedule_sql,
         "sitemap_urls": sitemap_urls_sql,
         "sitemap_frontier": sitemap_frontier_sql,
+        # the CDX corpus derives every field from doc_id arithmetic: the
+        # selected plan (status 200, html/pdf mime, digest-deduped with
+        # the one-day-later recrawl capture winning) reconstructs here
+        # without parsing a single CDXJ line
+        "cdx_fetch_plan": """
+            SELECT 'com,example,' || source || ')/doc/' ||
+                       CAST(doc_id AS VARCHAR) AS urlkey,
+                   strftime(TIMESTAMP '2026-01-01 00:00:00' +
+                            to_seconds(doc_id + 86400),
+                            '%Y%m%d%H%M%S') AS timestamp,
+                   'https://www.' || source || '.example.com/doc/' ||
+                       CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 13 = 0 THEN 'application/pdf'
+                        ELSE 'text/html' END AS mime,
+                   md5(text) AS digest,
+                   'crawl-' || source || '.warc.gz' AS filename,
+                   CAST(doc_id * 1000 + 500 AS BIGINT) AS offset,
+                   CAST(900 AS BIGINT) AS length
+            FROM documents
+            WHERE doc_id % 17 != 0 AND doc_id % 19 != 0
+        """,
         "recrawl_priority": f"""
             WITH sm AS ({sitemap_urls_sql}),
             x AS (

@@ -1,0 +1,137 @@
+"""CDXJ index source (sources/cdx.py): SURT urlkey codegen, line
+parsing, file round trip (plain + gz), and fetch-plan selection."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from rust_html2text_spark.plans.session import get_spark
+
+    s = get_spark(master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_surt_key_codegen(spark):
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.sources.cdx import surt_key_col
+
+    cases = {
+        "https://www.Example.com/A/b?Q=1#frag": "com,example)/a/b?q=1",
+        "http://sub.deep.example.org/": "org,example,deep,sub)/",
+        "https://example.com": "com,example)/",
+        "https://www.example.co.uk/x": "uk,co,example)/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["k"]
+        for r in df.select("url", surt_key_col("url").alias("k")).collect()
+    }
+    assert got == cases
+    # whole-stage codegen: no Python nodes in the plan
+    plan = (
+        df.select(surt_key_col("url").alias("k"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+
+def test_parse_malformed_lines_survive(spark):
+    from rust_html2text_spark.sources.cdx import parse_cdx_lines
+
+    lines = spark.createDataFrame(
+        [
+            ('com,e)/a 20260101000000 {"url": "https://e.com/a", '
+             '"mime": "text/html", "status": "200", "digest": "d1", '
+             '"length": "10", "offset": "0", "filename": "f.warc.gz"}',),
+            ("com,e)/b 20260101000001 {not json at all",),
+            ("just-one-token",),
+            ("",),
+        ],
+        "value string",
+    )
+    got = parse_cdx_lines(lines).collect()
+    assert len(got) == 4  # malformed lines survive as NULL-field rows
+    ok = [r for r in got if r["url"] is not None]
+    assert len(ok) == 1 and ok[0]["offset"] == 0 and ok[0]["length"] == 10
+    bad = [r for r in got if r["urlkey"] == "com,e)/b"]
+    assert bad[0]["url"] is None  # json malformed -> NULL fields
+
+
+def test_cdxj_file_round_trip_and_selection(spark, tmp_path):
+    from rust_html2text_spark.sources.cdx import (
+        read_cdx,
+        select_fetches,
+        write_cdxj,
+    )
+
+    recs = [
+        # two captures of the same payload: later timestamp must win
+        dict(urlkey="com,e)/a", timestamp="20260101000000",
+             url="https://e.com/a", mime="text/html", status="200",
+             digest="D1", length=100, offset=0, filename="w1.warc.gz"),
+        dict(urlkey="com,e)/a", timestamp="20260102000000",
+             url="https://e.com/a", mime="text/html", status="200",
+             digest="D1", length=100, offset=900, filename="w2.warc.gz"),
+        # 404 and unwanted mime are dropped
+        dict(urlkey="com,e)/gone", timestamp="20260101000000",
+             url="https://e.com/gone", mime="text/html", status="404",
+             digest="D2", length=5, offset=50, filename="w1.warc.gz"),
+        dict(urlkey="com,e)/img", timestamp="20260101000000",
+             url="https://e.com/img", mime="image/png", status="200",
+             digest="D3", length=7, offset=60, filename="w1.warc.gz"),
+        # a pdf capture survives
+        dict(urlkey="com,e)/doc", timestamp="20260101000000",
+             url="https://e.com/doc", mime="application/pdf",
+             status="200", digest="D4", length=9, offset=70,
+             filename="w1.warc.gz"),
+    ]
+    for name in ("idx.cdxj", "idx.cdxj.gz"):
+        p = str(tmp_path / name)
+        assert write_cdxj(p, recs) == 5
+        plan = select_fetches(read_cdx(spark, p)).collect()
+        got = {r["digest"]: r for r in plan}
+        assert set(got) == {"D1", "D4"}
+        assert got["D1"]["timestamp"] == "20260102000000"  # latest won
+        assert got["D1"]["offset"] == 900
+        assert got["D1"]["filename"] == "w2.warc.gz"
+        assert got["D4"]["mime"] == "application/pdf"
+
+
+def test_corpus_lines_parse_and_lanes_fire(spark):
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.sources.cdx import (
+        cdx_lines_from_documents,
+        parse_cdx_lines,
+        select_fetches,
+    )
+    from rust_html2text_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    parsed = parse_cdx_lines(cdx_lines_from_documents(docs))
+    n_docs = docs.count()
+    assert parsed.count() == 2 * n_docs  # two captures per doc
+    assert parsed.filter("url is null").count() == 0
+    mimes = {r["mime"] for r in parsed.select("mime").distinct().collect()}
+    assert mimes == {"text/html", "application/pdf", "text/xml"}
+    plan = select_fetches(parsed)
+    # one fetch per surviving doc, always the +1-day recrawl capture
+    kept = plan.collect()
+    assert all(r["offset"] % 1000 == 500 for r in kept)
+    assert len(kept) == parsed.filter(
+        "status = '200' and mime != 'text/xml'"
+    ).count() / 2
+    # codegen end to end: no Python nodes anywhere in the plan
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in s
