@@ -27,6 +27,7 @@ can round-trip pages → WARC → pages byte-identically.
 from __future__ import annotations
 
 import hashlib
+import os
 import zlib
 from datetime import datetime
 from typing import Iterable, Iterator
@@ -428,6 +429,99 @@ def read_warc_pages(
     return files.repartition(n).mapInPandas(read_files, schema)
 
 
+def read_warc_ranges(
+    spark,
+    plan,
+    base_dir: str | None = None,
+    include_charset_col: bool = False,
+    include_error_col: bool = False,
+):
+    """Fetch ONLY the index-selected WARC members: `plan` carries
+    (filename, offset, length) rows (the `sources/cdx.select_fetches`
+    output); each task seeks to its members instead of scanning whole
+    archives — reading a 1% selection costs ~1% of the bytes, the whole
+    point of consulting the CDX index first.
+
+    Plan shape: repartition by filename + sort by (filename, offset), so
+    every file is opened once per task and read strictly forward (the
+    access pattern object stores and page caches reward).  Each member
+    is a self-contained gzip stream (Common Crawl's record-per-member
+    layout — the same property the WET shard writer relies on), parsed
+    by the exact record/HTTP machinery the full reader uses.
+    Unreadable members (missing file, bad offset, corrupt gzip) are
+    skipped, never task failures.  Output schema matches
+    read_warc_pages (+ the same optional lineage columns)."""
+    with_charset = bool(include_charset_col)
+    with_err = bool(include_error_col)
+
+    def read_members(batches):
+        import io
+        import os as _os
+        import sys
+
+        _repo = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        if _repo not in sys.path:
+            sys.path.insert(0, _repo)
+        import pandas as pd
+
+        from rust_html2text_spark.sources.warc import (
+            _fileobj_chunks,
+            _iter_warc_pages_ex,
+        )
+
+        cols = (
+            ["url", "warc_ts", "html", "text", "lang"]
+            + (["http_charset"] if with_charset else [])
+            + (["ingest_error"] if with_err else [])
+        )
+        open_name, fh = None, None
+        try:
+            for batch in batches:
+                rows = []
+                for fname, offset, length in zip(
+                    batch["filename"], batch["offset"], batch["length"]
+                ):
+                    path = (
+                        _os.path.join(base_dir, fname) if base_dir else fname
+                    )
+                    try:
+                        if open_name != path:
+                            if fh is not None:
+                                fh.close()
+                            fh = open(path, "rb")
+                            open_name = path
+                        fh.seek(int(offset))
+                        member = fh.read(int(length))
+                        for url, ts, payload, cs, err in _iter_warc_pages_ex(
+                            _fileobj_chunks(io.BytesIO(member)),
+                            ("response",),
+                        ):
+                            row = (url, ts, payload, None, None)
+                            if with_charset:
+                                row = row + (cs,)
+                            if with_err:
+                                row = row + (err,)
+                            rows.append(row)
+                    except (OSError, zlib.error, EOFError):
+                        continue  # skip the member, keep the task
+                yield pd.DataFrame(rows, columns=cols)
+        finally:
+            if fh is not None:
+                fh.close()
+
+    schema = (
+        PAGES_SCHEMA
+        + (", http_charset string" if with_charset else "")
+        + (", ingest_error string" if with_err else "")
+    )
+    ordered = plan.select("filename", "offset", "length").repartition(
+        "filename"
+    ).sortWithinPartitions("filename", "offset")
+    return ordered.mapInPandas(read_members, schema)
+
+
 # -- the writer (tests / local round-trips) ----------------------------------
 
 
@@ -448,6 +542,7 @@ def write_warc_file(
     gzip_members: bool = True,
     http_encoding: str | None = None,
     content_type: str = "text/html; charset=UTF-8",
+    index_out: list | None = None,
 ) -> int:
     """Write (url, warc_ts, html) records as a WARC file, one gzip member
     per record (Common Crawl layout).  Deterministic output: record ids
@@ -502,7 +597,23 @@ def write_warc_file(
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode("utf-8")
             raw = header + http + b"\r\n\r\n"
-            fh.write(gzipmod.compress(raw, mtime=0) if gzip_members else raw)
+            member = gzipmod.compress(raw, mtime=0) if gzip_members else raw
+            if index_out is not None:
+                # CDX-style capture entry: the (offset, length) of this
+                # member is exactly what a range-reader needs
+                index_out.append(
+                    {
+                        "url": url,
+                        "timestamp": (ts or datetime(1970, 1, 1)).strftime(
+                            "%Y%m%d%H%M%S"
+                        ),
+                        "digest": hashlib.md5(html).hexdigest(),
+                        "offset": fh.tell(),
+                        "length": len(member),
+                        "filename": os.path.basename(path),
+                    }
+                )
+            fh.write(member)
             n += 1
     return n
 

@@ -135,3 +135,88 @@ def test_corpus_lines_parse_and_lanes_fire(spark):
     # codegen end to end: no Python nodes anywhere in the plan
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in s
+
+
+def test_cdx_selected_range_read_matches_full_scan(spark, tmp_path):
+    """The full index→fetch loop: WARC files written with a capture
+    index, the index published as CDXJ, selection via select_fetches,
+    then read_warc_ranges fetches ONLY the chosen members — and those
+    rows are byte-identical to the same records in a full scan."""
+    import os
+    from datetime import datetime
+
+    from rust_html2text_spark.sources.cdx import (
+        read_cdx,
+        select_fetches,
+        write_cdxj,
+    )
+    from rust_html2text_spark.sources.warc import (
+        read_warc_pages,
+        read_warc_ranges,
+        write_warc_file,
+    )
+
+    # two WARC files; the same payload body appears in both (digest dup)
+    def rec(i, body=None):
+        return (
+            f"https://e{i % 3}.example/p{i}",
+            datetime(2026, 1, 1 + i),
+            body or f"<html><body>page {i} body</body></html>".encode(),
+        )
+
+    idx = []
+    f1 = str(tmp_path / "w1.warc.gz")
+    f2 = str(tmp_path / "w2.warc.gz")
+    write_warc_file(f1, [rec(0), rec(1), rec(2)], index_out=idx)
+    write_warc_file(
+        f2, [rec(3), rec(4, b"<html><body>page 1 body</body></html>")],
+        index_out=idx,
+    )
+    # rec(4) carries rec(1)'s exact body: a true cross-file digest dup
+    # the selection must collapse to one fetch
+    assert len(idx) == 5
+    assert idx[1]["digest"] == idx[4]["digest"]
+
+    cdx_path = str(tmp_path / "idx.cdxj.gz")
+    write_cdxj(
+        cdx_path,
+        [
+            dict(
+                urlkey=f"key/{e['url']}",
+                timestamp=e["timestamp"],
+                url=e["url"],
+                mime="text/html",
+                status="200",
+                digest=e["digest"],
+                length=e["length"],
+                offset=e["offset"],
+                filename=e["filename"],
+            )
+            for e in idx
+        ],
+    )
+    plan = select_fetches(read_cdx(spark, cdx_path))
+    chosen = plan.collect()
+    digests = [r["digest"] for r in chosen]
+    assert len(digests) == len(set(digests))
+
+    got = read_warc_ranges(
+        spark, plan, base_dir=str(tmp_path), include_charset_col=True
+    ).collect()
+    assert len(got) == len(chosen)
+    full = {
+        (r["url"], r["warc_ts"]): bytes(r["html"])
+        for r in read_warc_pages(spark, [f1, f2]).collect()
+    }
+    for r in got:
+        assert bytes(r["html"]) == full[(r["url"], r["warc_ts"])]
+        assert r["http_charset"] == "utf-8"
+
+    # bad offsets / missing files are skipped, never task failures
+    bad = spark.createDataFrame(
+        [("w1.warc.gz", 10**9, 100), ("nope.warc.gz", 0, 10)]
+        + [(r["filename"], r["offset"], r["length"]) for r in chosen[:1]],
+        "filename string, offset long, length long",
+    )
+    survivors = read_warc_ranges(spark, bad, base_dir=str(tmp_path)).collect()
+    assert len(survivors) == 1
