@@ -220,3 +220,58 @@ def test_cdx_selected_range_read_matches_full_scan(spark, tmp_path):
     )
     survivors = read_warc_ranges(spark, bad, base_dir=str(tmp_path)).collect()
     assert len(survivors) == 1
+
+
+def test_cli_cdx_mode_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """spark-submit surface: --input-format auto detects a .cdxj.gz
+    index, range-reads the selected members, and runs the normal
+    resumable render job over exactly those pages."""
+    import sys as _sys
+    from datetime import datetime
+
+    from rust_html2text_spark.sources.cdx import write_cdxj
+    from rust_html2text_spark.sources.warc import write_warc_file
+
+    idx = []
+    f1 = str(tmp_path / "seg.warc.gz")
+    write_warc_file(
+        f1,
+        [
+            (f"https://e.example/p{i}", datetime(2026, 1, 1),
+             f"<html><body>cli page {i}, with text.</body></html>".encode())
+            for i in range(6)
+        ],
+        index_out=idx,
+    )
+    cdx_path = str(tmp_path / "seg.cdxj.gz")
+    write_cdxj(
+        cdx_path,
+        [
+            dict(urlkey=f"k{j}", timestamp=e["timestamp"], url=e["url"],
+                 mime="text/html",
+                 status="200" if j != 4 else "404",  # one capture dropped
+                 digest=e["digest"], length=e["length"],
+                 offset=e["offset"], filename=e["filename"])
+            for j, e in enumerate(idx)
+        ],
+    )
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_job.py", "--input", cdx_path, "--output", out,
+         "--buckets", "2", "--master", "local[4]"],
+    )
+    # main() stops its session on exit; keep the module-scoped one alive
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_job
+
+    run_job.main()
+    summary = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "'rows': 5" in summary  # 6 captures minus the 404
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert got.filter("text like '%cli page%'").count() == 5
+    assert got.filter("error is not null").count() == 0
