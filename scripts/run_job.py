@@ -334,6 +334,16 @@ def main() -> None:
         return
 
     if args.stream:
+        if fmt == "cdx":
+            # the index is a batch artifact (one file per published
+            # segment); streaming ingestion watches the WARC/parquet
+            # side, not the index
+            print(
+                "--stream is not supported with --input-format cdx; "
+                "run the index selection as a batch job",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         ckpt = args.checkpoint or os.path.join(args.output, "_checkpoint")
         if fmt == "warc":
             from rust_html2text_spark.streaming.pipeline import (
