@@ -169,7 +169,11 @@ def main() -> None:
             timings[lane] = round(best, 3)
             extract_rates[lane] = round(n_lane / best, 1)
 
-        # secondary headline queries (JVM-side pipeline ops), best of 2
+        # secondary headline queries (JVM-side pipeline ops), best of 2.
+        # round-6 adds the crawl-loop lanes: frontier_schedule measures
+        # the WHOLE loop (link extraction → robots gate → politeness
+        # waves), sitemap_urls the XML parse path, cdx_fetch_plan the
+        # pure-codegen index selection.
         for name in (
             "token_count",
             "quality_score",
@@ -178,6 +182,9 @@ def main() -> None:
             "lsh_candidate_pairs",
             "knn_bruteforce",
             "pricing_summary",
+            "frontier_schedule",
+            "sitemap_urls",
+            "cdx_fetch_plan",
         ):
             fn = {**entrymod.queries(), **entrymod.extra_queries()}[name]
             best = None
