@@ -837,6 +837,31 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sitemaps)
 
 
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global fetch budget apportioned across hosts by quality weight
+    (largest-remainder, budgets sum exactly to the budget) over the
+    politeness schedule: each host's earliest waves fill its budget,
+    hosts without a quality row get none.  Quality here = per-host
+    document volume (the simplest deterministic weight the oracle can
+    reconstruct); production would feed domain_quality metrics."""
+    from rust_html2text_spark.functions.robots import allocate_crawl_budget
+    from rust_html2text_spark.sources.corpus import load_documents
+
+    sched = q_frontier_schedule(spark, sf_dir)
+    quality = (
+        load_documents(spark, sf_dir)
+        .groupBy("source")
+        .count()
+        .select(
+            F.concat(
+                F.lit("www."), F.col("source"), F.lit(".example.com")
+            ).alias("host"),
+            F.col("count").cast("double").alias("quality"),
+        )
+    )
+    return allocate_crawl_budget(sched, quality, total_budget=800)
+
+
 def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index → fetch plan: parse the capture index (codegen
     from_json over `urlkey SP timestamp SP json` lines), keep 200s of
@@ -1070,6 +1095,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "recrawl_priority": q_recrawl_priority,
         "cdx_fetch_plan": q_cdx_fetch_plan,
+        "crawl_budget": q_crawl_budget,
     }
 
 
@@ -1490,6 +1516,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(900 AS BIGINT) AS length
             FROM documents
             WHERE doc_id % 17 != 0 AND doc_id % 19 != 0
+        """,
+        "crawl_budget": f"""
+            WITH sched AS ({frontier_schedule_sql}),
+            qual AS (
+                SELECT 'www.' || source || '.example.com' AS host,
+                       CAST(count(*) AS DOUBLE) AS q
+                FROM documents GROUP BY source
+            ),
+            tq AS (SELECT sum(q) AS tq FROM qual),
+            base AS (
+                SELECT host,
+                       CAST(800 AS DOUBLE) * q / tq AS share,
+                       floor(CAST(800 AS DOUBLE) * q / tq) AS b,
+                       CAST(800 AS DOUBLE) * q / tq
+                           - floor(CAST(800 AS DOUBLE) * q / tq) AS rem
+                FROM qual, tq
+            ),
+            bs AS (SELECT sum(b) AS bs FROM base),
+            budgets AS (
+                SELECT host,
+                       CAST(b + CASE WHEN row_number() OVER (
+                                ORDER BY rem DESC, host ASC)
+                                <= greatest(800 - bs, 0)
+                            THEN 1 ELSE 0 END AS BIGINT) AS host_budget
+                FROM base, bs
+            )
+            SELECT s.host, s.target, s.via_url, s.kind, s.fetch_wave,
+                   s.fetch_at_secs,
+                   coalesce(bg.host_budget, 0) AS host_budget,
+                   row_number() OVER (
+                       PARTITION BY s.host ORDER BY s.fetch_wave, s.target
+                   ) <= coalesce(bg.host_budget, 0) AS within_budget
+            FROM sched s LEFT JOIN budgets bg ON bg.host = s.host
         """,
         "recrawl_priority": f"""
             WITH sm AS ({sitemap_urls_sql}),

@@ -48,6 +48,7 @@ __all__ = [
     "sitemap_edges",
     "frontier_allowed",
     "frontier_schedule",
+    "allocate_crawl_budget",
     "HOST_RE",
     "PATH_RE",
     "MAX_ROBOTS_BYTES",
@@ -461,4 +462,68 @@ def frontier_schedule(
             F.col("fetch_wave")
             * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay_secs)))
         ).alias("fetch_at_secs"),
+    )
+
+
+def allocate_crawl_budget(
+    schedule: DataFrame,
+    host_quality: DataFrame,
+    total_budget: int,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Distribute a global per-round fetch budget across hosts by
+    quality weight (largest-remainder apportionment: budgets sum to
+    EXACTLY `total_budget` when enough targets exist), then mark each
+    scheduled edge `within_budget` — a host's earliest waves fill its
+    budget first, so cutting budget trims each host's tail, never its
+    front.  Hosts with no quality row (or quality ≤ 0) get budget 0:
+    unknown domains earn budget by first being crawled through the
+    discovery slice a caller reserves, which keeps this operator a pure
+    function of its inputs.
+
+    Scale shape: apportionment runs on the HOST table (one row per
+    host — tiny relative to edges); its only global step is the
+    remainder ranking, a sort of that host table.  The edge-side work
+    is one host-keyed join plus the same (host)-window the scheduler
+    already uses.  The two scalar totals (Σquality, Σfloor) broadcast
+    as 1-row frames — the same pattern as token_rarity's corpus
+    total."""
+    from pyspark.sql import Window
+
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    q = host_quality.select(
+        "host",
+        F.greatest(F.col(quality_col).cast("double"), F.lit(0.0)).alias("_q"),
+    ).filter(F.col("_q") > 0)
+    tot = q.agg(F.sum("_q").alias("_tq"))
+    share = (
+        q.crossJoin(F.broadcast(tot))
+        .withColumn("_share", F.lit(float(total_budget)) * F.col("_q") / F.col("_tq"))
+        .withColumn("_base", F.floor("_share"))
+        .withColumn("_rem", F.col("_share") - F.col("_base"))
+    )
+    base_sum = share.agg(F.sum("_base").alias("_bs"))
+    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("host").asc())
+    budgets = (
+        share.crossJoin(F.broadcast(base_sum))
+        .withColumn("_extra_n", F.greatest(
+            F.lit(total_budget) - F.col("_bs"), F.lit(0)
+        ))
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .select(
+            "host",
+            (
+                F.col("_base")
+                + F.when(F.col("_rank") <= F.col("_extra_n"), 1).otherwise(0)
+            ).cast("long").alias("host_budget"),
+        )
+    )
+    joined = schedule.join(budgets, "host", "left").withColumn(
+        "host_budget", F.coalesce(F.col("host_budget"), F.lit(0))
+    )
+    w_fill = Window.partitionBy("host").orderBy("fetch_wave", "target")
+    return joined.withColumn(
+        "within_budget",
+        F.row_number().over(w_fill) <= F.col("host_budget"),
     )

@@ -523,3 +523,55 @@ def test_robots_from_warc_feeds_the_gate(spark, tmp_path):
     pol = {r["host"]: r for r in robots_host_policy(robots).collect()}
     assert pol["a.example"]["crawl_delay"] == 4.0
     assert list(pol["a.example"]["sitemaps"]) == ["https://a.example/sm.xml"]
+
+
+def test_allocate_crawl_budget_invariants(spark):
+    """Largest-remainder apportionment: per-host budgets sum to EXACTLY
+    the total, proportionality holds within ±1, each host's earliest
+    waves fill its budget first, unknown/zero-quality hosts get 0, and
+    the assignment is deterministic."""
+    from rust_html2text_spark.functions.robots import allocate_crawl_budget
+
+    sched = spark.createDataFrame(
+        [
+            (f"h{h}.example", f"https://h{h}.example/p{i:03d}",
+             f"https://h{h}.example/", "html", i, float(i))
+            for h in range(4)
+            for i in range(20)
+        ],
+        "host string, target string, via_url string, kind string, "
+        "fetch_wave long, fetch_at_secs double",
+    )
+    quality = spark.createDataFrame(
+        # h3 has no quality row; h2 quality 0 -> both get budget 0
+        [("h0.example", 3.0), ("h1.example", 1.0), ("h2.example", 0.0)],
+        "host string, quality double",
+    )
+    out = allocate_crawl_budget(sched, quality, total_budget=10).collect()
+    budgets = {}
+    for r in out:
+        budgets.setdefault(r["host"], r["host_budget"])
+    assert budgets["h2.example"] == 0 and budgets["h3.example"] == 0
+    # 10 split 3:1 -> 7.5/2.5 -> floors 7/2, one remainder goes to the
+    # larger-remainder host (both .5: host-name tiebreak -> h0)
+    assert budgets["h0.example"] + budgets["h1.example"] == 10
+    assert budgets["h0.example"] == 8 and budgets["h1.example"] == 2
+    for host, b in budgets.items():
+        rows = sorted(
+            (r["fetch_wave"], r["within_budget"]) for r in out
+            if r["host"] == host
+        )
+        kept = [w for w, ok in rows if ok]
+        assert len(kept) == min(b, 20)
+        # the earliest waves are the ones kept
+        assert kept == [w for w, _ in rows[: len(kept)]]
+    again = allocate_crawl_budget(sched, quality, total_budget=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        allocate_crawl_budget(sched, quality, total_budget=-1)
+    # zero budget: everything out of budget, schema intact
+    none_kept = allocate_crawl_budget(sched, quality, 0).collect()
+    assert not any(r["within_budget"] for r in none_kept)
