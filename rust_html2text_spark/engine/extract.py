@@ -163,7 +163,14 @@ def score_candidates(dom: DomNode) -> list[tuple[float, int, DomNode]]:
             chars, links, commas = _subtree_stats(node, memo)
             prose = chars - links
             if prose >= _MIN_BLOCK_CHARS:
-                pts = 1.0 + commas + min(prose / 100.0, 3.0)
+                # the comma signal only means "prose" at prose-like
+                # densities: real sentences (Latin or CJK) run ≥ ~12
+                # chars per clause, while tag clouds / keyword lists
+                # ("politics, economy, sports, ...") hit one comma per
+                # word — those blocks are lists and get NO comma credit,
+                # or a 20-term nav cloud outscores the article
+                comma_credit = commas if commas * 12 <= chars else 0.0
+                pts = 1.0 + comma_credit + min(prose / 100.0, 3.0)
                 parent = node.parent
                 if parent is not None and parent.kind == "element":
                     points[id(parent)] = points.get(id(parent), 0.0) + pts

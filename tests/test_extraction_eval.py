@@ -573,6 +573,18 @@ fx(
 )
 
 
+fx(
+    "comma-dense-tag-cloud-chrome",
+    f"""<html><body>
+    <div class="row-a"><p>Topics: politics, economy, sports, culture, science, health, travel, food, books, film, music, art, tech, cars, homes, weather, opinion, letters, obituaries, puzzles</p></div>
+    <div class="row-b"><h1>Vote delayed</h1><p>{PROSE}</p></div>
+    <div class="row-c"><p>More: jobs, courses, dating, deals, horoscopes, lottery results, crosswords, comics, recipes, quizzes</p></div>
+    </body></html>""",
+    [PROSE],
+    ["politics, economy", "horoscopes, lottery"],
+)
+
+
 def _score(name, html, main_blocks, junk_blocks):
     text = extract_main(html.encode("utf-8"), 100)
     flat = " ".join(text.split())
