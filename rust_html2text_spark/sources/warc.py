@@ -504,8 +504,12 @@ def read_warc_ranges(
                             if with_err:
                                 row = row + (err,)
                             rows.append(row)
-                    except (OSError, zlib.error, EOFError):
-                        continue  # skip the member, keep the task
+                    except (OSError, zlib.error, EOFError,
+                            TypeError, ValueError):
+                        # missing file, bad offset, corrupt gzip, or a
+                        # NULL/garbage plan field: skip the member,
+                        # keep the task
+                        continue
                 yield pd.DataFrame(rows, columns=cols)
         finally:
             if fh is not None:
@@ -628,10 +632,13 @@ def robots_from_warc(pages, url_col: str = "url", body_col: str = "html"):
     Selection is by URL shape (scheme://host/robots.txt, REP's fixed
     well-known location); when a host was fetched more than once the
     LATEST capture wins (deterministic: max by (warc_ts, body)).  The
-    body decodes as UTF-8 with replacement — robots.txt is ASCII in
-    practice and the parser ignores unparseable lines.  Size caps live
-    in the parser (RFC 9309 §2.5), not here.  One narrow filter + one
-    host-keyed aggregation; no Python."""
+    body decodes as UTF-8 LENIENTLY via a binary→string cast
+    (replacement chars; `decode()` raises MALFORMED_CHARACTER_CODING on
+    Spark 4, so one hostile robots.txt with invalid bytes would kill
+    the whole job) — robots.txt is ASCII in practice and the parser
+    ignores unparseable lines.  Size caps live in the parser (RFC 9309
+    §2.5), not here.  One narrow filter + one host-keyed aggregation;
+    no Python."""
     from pyspark.sql import functions as F
 
     from rust_html2text_spark.functions.robots import HOST_RE, PATH_RE
@@ -645,7 +652,13 @@ def robots_from_warc(pages, url_col: str = "url", body_col: str = "html"):
         .select(
             host.alias("host"),
             F.struct(
-                F.col("warc_ts"), F.decode(body_col, "UTF-8").alias("txt")
+                F.col("warc_ts"),
+                # cast is lenient but keeps the invalid bytes inside the
+                # JVM string; make_valid_utf8 replaces them with U+FFFD
+                # so the Arrow transfer to the rules parser cannot choke
+                F.make_valid_utf8(
+                    F.col(body_col).cast("string")
+                ).alias("txt"),
             ).alias("_cap"),
         )
         .groupBy("host")

@@ -575,3 +575,41 @@ def test_allocate_crawl_budget_invariants(spark):
     # zero budget: everything out of budget, schema intact
     none_kept = allocate_crawl_budget(sched, quality, 0).collect()
     assert not any(r["within_budget"] for r in none_kept)
+
+
+def test_robots_from_warc_survives_invalid_utf8(spark, tmp_path):
+    """A robots.txt with invalid UTF-8 bytes must degrade to
+    replacement chars, not kill the job (Spark's decode() raises
+    MALFORMED_CHARACTER_CODING — the lenient cast path must be used)."""
+    from datetime import datetime
+
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_rules,
+    )
+    from rust_html2text_spark.sources.warc import (
+        read_warc_pages,
+        robots_from_warc,
+        write_warc_file,
+    )
+
+    p = str(tmp_path / "bad.warc.gz")
+    write_warc_file(
+        p,
+        [
+            ("https://bad.example/robots.txt", datetime(2026, 1, 1),
+             b"User-agent: *\nDisallow: /\xff\xfe-junk\nDisallow: /keep\n"),
+        ],
+    )
+    robots = robots_from_warc(read_warc_pages(spark, [p]))
+    got = robots.collect()
+    assert len(got) == 1 and "Disallow: /keep" in got[0]["robots_txt"]
+    edges = spark.createDataFrame(
+        [("u", "https://bad.example/keep/x", "html"),
+         ("u", "https://bad.example/other", "html")],
+        "url string, target string, kind string",
+    )
+    v = {r["target"]: r["allowed"]
+         for r in frontier_allowed(edges, robots_rules(robots)).collect()}
+    assert v == {"https://bad.example/keep/x": False,
+                 "https://bad.example/other": True}
