@@ -54,6 +54,30 @@ wstats = render_pages(warc_pages, width=80).agg(
     F.sum(F.when(F.col("error").isNull(), 0).otherwise(1)).alias("err"),
 ).collect()[0]
 assert wstats["n"] == 100 and wstats["err"] == 0, wstats
+
+# the crawl loop through real executors: robots gate (mapInPandas rules
+# parse must import from the shipped zip on the workers) + sitemap parse
+from rust_html2text_spark.functions.robots import frontier_allowed, robots_rules
+from rust_html2text_spark.functions.sitemap import sitemap_entries
+from rust_html2text_spark.sources.corpus import (
+    robots_for_frontier, sitemaps_from_documents, load_documents,
+)
+edges = spark.createDataFrame(
+    [("u", f"https://www.h{{i % 4}}.example.com/up/{{i}}" if i % 2
+      else f"https://www.h{{i % 4}}.example.com/doc/{{i}}", "html")
+     for i in range(40)],
+    "url string, target string, kind string",
+)
+gated = frontier_allowed(edges, robots_rules(robots_for_frontier(edges)))
+g = gated.agg(
+    F.count("*").alias("n"),
+    F.sum(F.when(F.col("allowed"), 0).otherwise(1)).alias("blocked"),
+).collect()[0]
+assert g["n"] == 40 and g["blocked"] == 20, g  # every /up/ edge blocked
+sm = sitemap_entries(
+    sitemaps_from_documents(load_documents(spark, "/root/testdata/sf0.001"))
+).count()
+assert sm > 500, sm
 print("MULTI_EXECUTOR_OK")
 spark.stop()
 """
