@@ -50,7 +50,11 @@ def fuzz_pdf(trials: int, seed: int) -> int:
     rng = random.Random(seed)
     bases = [
         build_pdf(i, " ".join(f"w{j}," for j in range(150)), f"s{i}")
-        for i in range(4)  # both xref flavours × compression
+        # both xref flavours × compression, plus every encrypted lane:
+        # RC4-128/R3 (4), AES-128/R4 (7), AES-256/R6 (11), RC4-40/R2
+        # (16), AES-256/R5 (29) — mutating /Encrypt shapes is exactly
+        # where hostile-crypto escapes live
+        for i in (0, 1, 2, 3, 4, 7, 11, 16, 29)
     ]
     crashes = 0
     for trial in range(trials):
