@@ -292,10 +292,15 @@ def recrawl_priority(
         ],
         F.lit(default_changefreq_secs),
     ).cast("double")
-    # lastmod is date-only ('2026-01-05') or W3C datetime; try both
+    # lastmod is date-only ('2026-01-05') or W3C datetime (optionally
+    # with a zone offset); try_to_* variants because hostile values
+    # must yield NULL, not an ANSI CANNOT_PARSE_TIMESTAMP task failure
     lm = F.coalesce(
-        F.to_timestamp(F.col("lastmod"), "yyyy-MM-dd"),
-        F.to_timestamp(F.col("lastmod")),
+        F.try_to_timestamp(F.col("lastmod"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("lastmod")),
+        F.try_to_timestamp(
+            F.col("lastmod"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")
+        ),
     )
     age = (
         F.unix_timestamp(F.lit(now)) - F.unix_timestamp(lm)

@@ -195,6 +195,13 @@ def test_recrawl_priority_semantics(spark):
              None, False),
             ("h", "urlset", 5, "https://h/x5", "2020-01-01", "never",
              1.0, False),
+            # W3C datetime forms: Zulu, zone offset; and hostile garbage
+            ("h", "urlset", 6, "https://h/x6", "2026-02-28T12:00:00Z",
+             "daily", 0.5, False),
+            ("h", "urlset", 7, "https://h/x7",
+             "2026-02-28T12:00:00+02:00", "daily", 0.5, False),
+            ("h", "urlset", 8, "https://h/x8", "not-a-date", "daily",
+             0.5, False),
         ],
         "host string, sitemap_kind string, ordinal int, loc string, "
         "lastmod string, changefreq string, priority double, "
@@ -217,3 +224,9 @@ def test_recrawl_priority_semantics(spark):
     # 'never' is a slow lane, not a dead one
     x5 = got["https://h/x5"]
     assert 0.0 < x5["due_cycles"] < 10.0
+    # W3C datetimes parse (offset honored); garbage degrades to
+    # due-now instead of an ANSI CANNOT_PARSE_TIMESTAMP task failure
+    assert got["https://h/x6"]["age_secs"] == 43200.0
+    assert got["https://h/x7"]["age_secs"] == 50400.0
+    assert got["https://h/x8"]["age_secs"] is None
+    assert got["https://h/x8"]["due_cycles"] == 1.0
