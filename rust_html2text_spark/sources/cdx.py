@@ -86,8 +86,11 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         j["mime"].alias("mime"),
         j["status"].alias("status"),
         j["digest"].alias("digest"),
-        j["length"].cast("bigint").alias("length"),
-        j["offset"].cast("bigint").alias("offset"),
+        # try_cast: a garbage numeric field in one index line must yield
+        # NULL (the line survives as lineage, select_fetches drops it),
+        # not an ANSI CAST_INVALID_INPUT task failure
+        j["length"].try_cast("bigint").alias("length"),
+        j["offset"].try_cast("bigint").alias("offset"),
         j["filename"].alias("filename"),
     )
 

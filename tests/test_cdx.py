@@ -57,15 +57,24 @@ def test_parse_malformed_lines_survive(spark):
             ("com,e)/b 20260101000001 {not json at all",),
             ("just-one-token",),
             ("",),
+            ('com,e)/n 20260101000002 {"url": "https://e.com/n", '
+             '"mime": "text/html", "status": "200", "digest": "d2", '
+             '"length": "not-a-number", "offset": "12xyz", '
+             '"filename": "f.warc.gz"}',),
         ],
         "value string",
     )
     got = parse_cdx_lines(lines).collect()
-    assert len(got) == 4  # malformed lines survive as NULL-field rows
+    assert len(got) == 5  # malformed lines survive as NULL-field rows
     ok = [r for r in got if r["url"] is not None]
-    assert len(ok) == 1 and ok[0]["offset"] == 0 and ok[0]["length"] == 10
+    assert len(ok) == 2
+    a = [r for r in ok if r["urlkey"] == "com,e)/a"][0]
+    assert a["offset"] == 0 and a["length"] == 10
     bad = [r for r in got if r["urlkey"] == "com,e)/b"]
     assert bad[0]["url"] is None  # json malformed -> NULL fields
+    # garbage numerics -> NULL, not an ANSI CAST_INVALID_INPUT failure
+    n = [r for r in ok if r["urlkey"] == "com,e)/n"][0]
+    assert n["offset"] is None and n["length"] is None
 
 
 def test_cdxj_file_round_trip_and_selection(spark, tmp_path):
