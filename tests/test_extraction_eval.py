@@ -585,6 +585,18 @@ fx(
 )
 
 
+fx(
+    "positive-vocab-trap-chrome",
+    f"""<html><body>
+    <div class="content-nav"><a href="/a">World</a> <a href="/b">Local</a> <a href="/c">Sport</a> <a href="/d">Money</a> <a href="/e">More</a></div>
+    <div class="article-footer"><p>All rights reserved, reproduction prohibited, please contact licensing for syndication, quotes, and reprints of this article.</p></div>
+    <div class="story-main"><h1>Vote delayed</h1><p>{PROSE}</p></div>
+    </body></html>""",
+    [PROSE],
+    ["World", "reproduction prohibited"],
+)
+
+
 def _score(name, html, main_blocks, junk_blocks):
     text = extract_main(html.encode("utf-8"), 100)
     flat = " ".join(text.split())
