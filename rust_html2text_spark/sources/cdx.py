@@ -47,7 +47,8 @@ __all__ = [
 
 CDX_JSON_SCHEMA = (
     "url string, mime string, status string, digest string, "
-    "length string, offset string, filename string"
+    "length string, offset string, filename string, "
+    "languages string, charset string"
 )
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]+)"
@@ -92,6 +93,11 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         j["length"].try_cast("bigint").alias("length"),
         j["offset"].try_cast("bigint").alias("offset"),
         j["filename"].alias("filename"),
+        # Common Crawl's index enriches captures with detected languages
+        # (comma-joined ISO codes) and charset; NULL when absent — a
+        # language-targeted corpus slices on these BEFORE fetching bytes
+        j["languages"].alias("languages"),
+        j["charset"].alias("charset"),
     )
 
 
@@ -106,6 +112,7 @@ def select_fetches(
     cdx: DataFrame,
     mimes: tuple = ("text/html", "application/pdf"),
     statuses: tuple = ("200",),
+    languages: tuple | None = None,
 ) -> DataFrame:
     """Index-side record selection: keep wanted statuses/mimes, ONE
     capture per content digest (the latest timestamp wins — identical
@@ -122,6 +129,17 @@ def select_fetches(
         & F.col("digest").isNotNull()
         & F.col("offset").isNotNull()
     )
+    if languages:
+        # language-targeted slice on the index's detected-language
+        # codes (comma-joined, e.g. 'eng,deu') — captures the index
+        # could not language-detect are excluded from a targeted slice
+        lang_pred = None
+        for code in languages:
+            p = F.col("languages").contains(code)
+            lang_pred = p if lang_pred is None else (lang_pred | p)
+        wanted = wanted.filter(
+            F.col("languages").isNotNull() & lang_pred
+        )
     best = wanted.groupBy("digest").agg(
         F.max(
             F.struct(

@@ -284,3 +284,52 @@ def test_cli_cdx_mode_end_to_end(spark, tmp_path, monkeypatch, capsys):
     assert got.count() == 5
     assert got.filter("text like '%cli page%'").count() == 5
     assert got.filter("error is not null").count() == 0
+
+
+def test_language_slice_and_parquet_pushdown(spark, tmp_path):
+    """CC-index language fields pass through; a language-targeted
+    selection keeps only matching captures; and when the parsed index
+    is parquet-materialized the selection's status/mime filters reach
+    the scan (PushedFilters) — the 100 TB shape is parse-once,
+    materialize, then slice many times."""
+    from rust_html2text_spark.sources.cdx import (
+        parse_cdx_lines,
+        select_fetches,
+    )
+
+    mk = (
+        '{kind} 2026010100000{i} {{"url": "https://e/{i}", '
+        '"mime": "text/html", "status": "200", "digest": "D{i}", '
+        '"length": "9", "offset": "{i}", "filename": "f.warc.gz"'
+        "{extra}}}"
+    )
+    lines = spark.createDataFrame(
+        [
+            (mk.format(kind="k0", i=0, extra=', "languages": "eng"'),),
+            (mk.format(kind="k1", i=1,
+                       extra=', "languages": "eng,deu", "charset": "UTF-8"'),),
+            (mk.format(kind="k2", i=2, extra=', "languages": "zho"'),),
+            (mk.format(kind="k3", i=3, extra=""),),  # no language detected
+        ],
+        "value string",
+    )
+    parsed = parse_cdx_lines(lines)
+    assert {r["languages"] for r in parsed.collect()} == {
+        "eng", "eng,deu", "zho", None,
+    }
+    got = select_fetches(parsed, languages=("eng",)).collect()
+    assert sorted(r["digest"] for r in got) == ["D0", "D1"]
+    assert select_fetches(parsed).count() == 4  # no slice -> all pass
+
+    # materialized index: the selection filters push to the parquet scan
+    idx_path = str(tmp_path / "index.parquet")
+    parsed.write.parquet(idx_path)
+    plan = (
+        select_fetches(spark.read.parquet(idx_path))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    # a single-element isin compiles to EqualTo; mime stays an In
+    assert "EqualTo(status,200)" in plan and "In(mime" in plan
