@@ -333,3 +333,19 @@ def test_language_slice_and_parquet_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan
     # a single-element isin compiles to EqualTo; mime stays an In
     assert "EqualTo(status,200)" in plan and "In(mime" in plan
+
+
+def test_unquoted_numeric_json_fields_coerce(spark):
+    """Some CDXJ writers emit status/length/offset as bare JSON numbers;
+    from_json coerces them into the string/bigint schema instead of
+    NULLing the row."""
+    from rust_html2text_spark.sources.cdx import parse_cdx_lines
+
+    lines = spark.createDataFrame(
+        [('k 20260101000000 {"url": "https://e/1", "mime": "text/html", '
+          '"status": 200, "digest": "D", "length": 9, "offset": 1234, '
+          '"filename": "f"}',)],
+        "value string",
+    )
+    r = parse_cdx_lines(lines).collect()[0]
+    assert r["status"] == "200" and r["offset"] == 1234 and r["length"] == 9
