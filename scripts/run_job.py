@@ -370,7 +370,28 @@ def main() -> None:
             n = spark.read.parquet(args.output).count()
         except Exception:  # no files yet: empty input stream
             n = 0
-        print({"streamed_rows_total": n, "checkpoint": ckpt})
+        summary = {"streamed_rows_total": n, "checkpoint": ckpt}
+        if args.export_wet and n == 0:
+            summary["wet_records"] = 0
+            summary["wet_path"] = args.export_wet
+        elif args.export_wet:
+            # the streamed output IS a parquet table; export it the same
+            # way the batch path does rather than silently ignoring the
+            # flag
+            from rust_html2text_spark.sources.warc import (
+                export_wet,
+                export_wet_partitioned,
+            )
+
+            out_df = spark.read.parquet(args.output)
+            if args.export_wet.endswith((".wet", ".gz")):
+                summary["wet_records"] = export_wet(out_df, args.export_wet)
+            else:
+                man = export_wet_partitioned(out_df, args.export_wet)
+                summary["wet_records"] = man["records"]
+                summary["wet_shards"] = len(man["shards"])
+            summary["wet_path"] = args.export_wet
+        print(summary)
         spark.stop()
         return
 

@@ -418,3 +418,51 @@ def test_wet_export_carries_identified_charset(spark, tmp_path):
             )
     assert got == want
     assert {"cp1252", "shift_jis", "utf-16-le"} <= set(got.values())
+
+
+def test_cli_stream_export_wet(spark, tmp_path, monkeypatch, capsys):
+    """--stream --export-wet exports the streamed output as WET shards
+    (previously the flag was silently ignored on the streaming path),
+    with the identified-charset header carried through."""
+    import os
+    import sys as _sys
+
+    from pyspark.sql import SparkSession
+
+    from rust_html2text_spark.sources.corpus import (
+        charset_pages_from_documents,
+        load_documents,
+    )
+
+    inp = str(tmp_path / "in")
+    charset_pages_from_documents(
+        load_documents(spark, SF_DIR)
+    ).limit(15).write.parquet(inp)
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["run_job.py", "--mode", "extract", "--charset-sniff", "--stream",
+         "--input", inp, "--output", out, "--export-wet", wet,
+         "--master", "local[4]"],
+    )
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_job
+
+    run_job.main()
+    summary = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "'wet_records': 15" in summary
+    from rust_html2text_spark.sources.warc import (
+        _file_chunks,
+        iter_warc_records,
+    )
+
+    seen = set()
+    for sh in os.listdir(wet):
+        if sh.endswith(".gz"):
+            for h, _ in iter_warc_records(
+                _file_chunks(os.path.join(wet, sh))
+            ):
+                seen.add(h.get("warc-identified-content-charset"))
+    assert {"cp1252", "shift_jis"} <= seen
