@@ -96,6 +96,10 @@ def parse_robots(
     patterns are kept (longest-match degrades conservatively)."""
     agent_l = agent.lower()
     truncated = False
+    # a UTF-8 BOM glues onto the first field name ("﻿user-agent")
+    # and silently loses the first group — the gate would fail OPEN for
+    # the whole host; the reference Google parser skips the BOM too
+    robots_txt = robots_txt.lstrip("﻿")
     if max_bytes is not None and len(robots_txt) > max_bytes:
         robots_txt = robots_txt[:max_bytes]
         # drop the trailing partial line so a clipped rule never parses

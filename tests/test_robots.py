@@ -613,3 +613,12 @@ def test_robots_from_warc_survives_invalid_utf8(spark, tmp_path):
          for r in frontier_allowed(edges, robots_rules(robots)).collect()}
     assert v == {"https://bad.example/keep/x": False,
                  "https://bad.example/other": True}
+
+
+def test_bom_robots_txt_still_parses():
+    """A UTF-8 BOM must not glue onto the first 'User-agent' field and
+    silently lose the group (the gate would fail OPEN for the host)."""
+    txt = "﻿User-agent: *\nDisallow: /x\n"
+    assert parse_robots_rules(txt, "bot") == [("/x", 0)]
+    pol = parse_robots("﻿User-agent: *\nCrawl-delay: 2\n", "bot")
+    assert pol.crawl_delay == 2.0
