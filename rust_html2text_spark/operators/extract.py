@@ -1,7 +1,7 @@
 """The main-content extraction operator, Spark-first.
 
-Same plan shape as operators/render.py (scan → salted repartition →
-mapInPandas), same robustness contract (a hostile page becomes an error
+Same plan shape as operators/render.py (scan → optional salted
+repartition → mapInPandas), same robustness contract (a hostile page becomes an error
 row, never a task failure) — the kernel is engine/extract.extract_main_ex
 (boilerplate strip + DOM-heuristic candidate scoring) instead of the
 whole-document render.  The winner tag and score ride along as lineage
@@ -58,7 +58,8 @@ def _with_outlier_lane(
 ) -> DataFrame:
     """Shared plan tail for the extraction tier: optional oversized-page
     routing (one giant page must never stall a task's worth of
-    siblings), salted url-hash repartition, mapInPandas, union of the
+    siblings), optional salted url-hash repartition (default: none — the
+    scan-aligned splits feed the kernel directly), mapInPandas, union of the
     two lanes.  The coalesce keeps NULL html in the normal lane (→ a
     NullInput/absent row, never silently vanishing from both filter
     branches)."""
@@ -267,7 +268,7 @@ def extract_links(
     config_kwargs: dict | None = None,
     num_partitions: int | None = None,
     salt: int = 0,
-    repartition: str = "salted",
+    repartition: str = "none",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
     outlier_bytes: int | None = 1 << 20,
@@ -276,7 +277,7 @@ def extract_links(
     — chrome/nav/footer links are dropped by the same strip+score pass as
     extract_pages, so the edge list is content-to-content (what a link-
     graph quality signal like a PageRank-ish prior wants; boilerplate
-    edges are exactly the noise).  Variable rows per input page; salted
+    edges are exactly the noise).  Variable rows per input page; same
     url-hash partitioning and the oversized-outlier lane match the rest
     of the tier."""
     if repartition not in ("salted", "none"):
@@ -351,7 +352,7 @@ def page_metadata_pages(
     xml_mode=None,
     num_partitions: int | None = None,
     salt: int = 0,
-    repartition: str = "salted",
+    repartition: str = "none",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
     outlier_bytes: int | None = 1 << 20,
@@ -501,7 +502,7 @@ def extract_pages_full(
     config_kwargs: dict | None = None,
     num_partitions: int | None = None,
     salt: int = 0,
-    repartition: str = "salted",
+    repartition: str = "none",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
     outlier_bytes: int | None = 1 << 20,
@@ -511,7 +512,7 @@ def extract_pages_full(
     metadata).  A curation pipeline that consumes all three must not
     parse every page three times — at crawl scale the parse is ~25% of
     the kernel, so the fusion saves ~½ of a full extra pass.  Plan shape
-    matches the tier: pruned scan → salted repartition → one mapInPandas
+    matches the tier: pruned scan → (optional salted repartition) → one mapInPandas
     with the oversized-outlier lane.  charset_sniff=True adds the WHATWG
     sniff + (encoding, encoding_source) lineage, same contract as
     extract_pages."""
@@ -536,15 +537,16 @@ def extract_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     outlier_bytes: int | None = 1 << 20,
-    repartition: str = "salted",
+    repartition: str = "none",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
     charset_col: str | None = None,
 ) -> DataFrame:
     """Extract main content from a pages DataFrame (url, html, ...) →
     (url, text, error, sizes, winner_tag, score, n_candidates).  Same
-    partitioning contract as operators/render.render_pages: salted url
-    hash by default, `repartition="none"` for pre-shuffled input, and an
+    partitioning contract as operators/render.render_pages: no pre-kernel
+    shuffle by default (`repartition="salted"` opts into the url-hash
+    shuffle for cost-correlated file layouts), and an
     oversized-outlier lane so one giant page never stalls a task's worth
     of siblings (the lane's second-scan cost and when to disable it are
     quantified in render_pages' docstring).

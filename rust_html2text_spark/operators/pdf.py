@@ -1,7 +1,7 @@
 """PDF text-extraction operator, Spark-first.
 
 Third member of the extraction-tier operator family (render_pages,
-extract_pages): same plan shape — pruned scan → salted url-hash
+extract_pages): same plan shape — pruned scan → optional salted url-hash
 repartition → Arrow-batched mapInPandas — and the same robustness
 contract (a hostile or truncated PDF becomes an error row, never a task
 failure).  The kernel is engine/pdftext.extract_pdf_ex (document
@@ -142,7 +142,7 @@ def extract_pdf_links(
     df: DataFrame,
     num_partitions: int | None = None,
     salt: int = 0,
-    repartition: str = "salted",
+    repartition: str = "none",
 ) -> DataFrame:
     """The PDF half of the crawl link graph: (url, page, ordinal, uri)
     from /Annots Link → /A /URI actions — PDFs carry their outbound
@@ -269,7 +269,7 @@ def extract_mixed_pages(
     salt: int = 0,
     payload_col: str = "html",
     page_sep: str = "\f",
-    repartition: str = "salted",
+    repartition: str = "none",
     charset_sniff: bool = False,
     charset_fallback: str = "utf-8",
 ) -> DataFrame:
@@ -281,7 +281,7 @@ def extract_mixed_pages(
     pdftext kernel, everything else through the full HTML render.
     Output: (url, kind, text, error, input_bytes, text_bytes).
 
-    Scale shape: ONE pruned scan → ONE salted shuffle → ONE mapInPandas
+    Scale shape: ONE pruned scan → (optional salted shuffle) → ONE mapInPandas
     whose Python side dispatches per row — both kernels live in the same
     worker process, so routing costs a 1 KiB memchr, not a second scan
     of the payload column (a two-filtered-branches plan reads the
@@ -307,12 +307,13 @@ def extract_pdf_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     outlier_bytes: int | None = 8 << 20,
-    repartition: str = "salted",
+    repartition: str = "none",
 ) -> DataFrame:
     """Extract text from a PDF pages DataFrame (url, pdf, ...) →
     (url, text, error, pdf_bytes, text_bytes, n_pages, pdf_version).
-    Partitioning contract matches render_pages: salted url-hash shuffle
-    by default, `repartition="none"` for pre-shuffled input, and an
+    Partitioning contract matches render_pages: no pre-kernel shuffle
+    by default (`repartition="salted"` opts into the url-hash shuffle
+    for cost-correlated file layouts), and an
     oversized-outlier lane (default 8 MiB — PDFs run larger than HTML)
     so one giant scan never stalls a task's worth of siblings."""
     if repartition not in ("salted", "none"):

@@ -7,9 +7,12 @@ salted repartition) → mapInPandas → write — and every reference semantic
 lives inside the Arrow-batched Python function.
 
 Scale design (10^12 docs / 1000 executors):
-- **Partitioning**: `repartition(n, xxhash64(url, salt))` decorrelates
-  giant hosts (url prefixes) from partition boundaries; AQE re-splits any
-  residual skew.
+- **Partitioning**: the default is NO pre-kernel shuffle (scan-aligned
+  splits — r07, guide §2.4: the corpus' html bytes never cross the
+  network before the kernel); `repartition="salted"`
+  (`repartition(n, xxhash64(url, salt))`) remains available to
+  decorrelate giant hosts from partition boundaries when the input file
+  layout concentrates expensive pages.
 - **Outlier routing**: rows with `length(html) > outlier_bytes` are routed
   to a dedicated repartition sized so each oversized doc lands alone,
   keeping p99 task time bounded (one 1 GB page cannot stall a 128 MB-sized
@@ -52,6 +55,7 @@ def _render_batch_fn(
     use_css_colours: bool = True,
     no_default_colours: bool = False,
     syntax_highlight: bool = False,
+    passthrough_cols: tuple = (),
 ):
     """Build the mapInPandas function; engine imports happen on the executor
     so only rust_html2text_spark needs to ship via --py-files.
@@ -144,15 +148,16 @@ def _render_batch_fn(
                     texts.append(None)
                     errors.append(f"Fail:{type(e).__name__}")
                     text_bytes.append(0)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "text": texts,
-                    "error": errors,
-                    "html_bytes": html_bytes,
-                    "text_bytes": text_bytes,
-                }
-            )
+            out = {
+                "url": urls,
+                "text": texts,
+                "error": errors,
+                "html_bytes": html_bytes,
+                "text_bytes": text_bytes,
+            }
+            for c in passthrough_cols:
+                out[c] = batch[c]
+            yield pd.DataFrame(out)
 
     return render_batches
 
@@ -164,21 +169,24 @@ def render_pages(
     num_partitions: int | None = None,
     salt: int = 0,
     outlier_bytes: int | None = 1 << 20,
-    repartition: str = "salted",
+    repartition: str = "none",
     render_kwargs: dict | None = None,
 ) -> DataFrame:
     """Render a pages DataFrame (url, html, ...) to (url, text, error, sizes).
 
     Only url+html are read — column pruning keeps the scan narrow.
 
-    repartition="salted" (default) shuffles on xxhash64(url, salt) to
-    decorrelate hot hosts from file layout — the safe choice for raw crawl
-    input, at the cost of moving every html byte through one shuffle.
-    repartition="none" keeps the scan-aligned file splits (measured ~17%
-    faster even at local scale; at 100 TB it is the difference between
-    shuffling the corpus once and not) — correct when the input is already
-    well-distributed, e.g. the output of an upstream shuffle such as
-    render_pages_deduped's distinct stage.
+    repartition="none" (default) keeps the scan-aligned file splits — the
+    input never moves through a shuffle before the kernel (measured ~14%
+    faster at local scale, r07; at 100 TB it is the difference between
+    shuffling the corpus once and not).  Correct whenever the input's file
+    layout is not pathologically cost-correlated: a sink-written crawl
+    table is already distributed by an upstream shuffle, and the outlier
+    lane below bounds the one real per-row cost hazard (giant documents)
+    regardless of layout.  repartition="salted" shuffles on
+    xxhash64(url, salt) first — the defensive choice for raw input whose
+    file layout concentrates expensive pages (e.g. per-host dump files),
+    at the cost of moving every html byte through one exchange.
 
     Outlier-lane scan cost, explicitly: the length predicate cannot push
     to parquet, so the two filtered branches each read url+html — a
@@ -239,30 +247,52 @@ def render_pages_deduped(
 
     Web crawls are heavily duplicated (boilerplate mirrors, http/https
     twins); rendering distinct payloads cuts the Python-side work by the
-    duplication factor at the cost of one extra shuffle on the content
-    hash.  The content hash doubles as the lineage key.
+    duplication factor at the cost of one shuffle on the content hash.
+    The content hash doubles as the lineage key.
+
+    Plan shape (r07, guide §8 — decide with small rows, move big rows
+    once): ONE exchange total.  groupBy(content_hash) both dedups the
+    payload and collects the url list in the same aggregation; the url
+    list rides through the kernel as a passthrough column and explodes
+    back to one row per input url in the JVM.  The previous
+    dropDuplicates + join-back plan paid a second scan + md5 pass over
+    the input for the url↔hash map and re-shuffled the *rendered text*
+    to meet it — both gone.  Caveat: a pathological duplicate class (one
+    page mirrored 10^6×) materializes its url list in one row; at that
+    scale split the class with a secondary group key upstream.
     """
+    from pyspark.sql.types import ArrayType
+
     hashed = df.select(
         "url", F.md5(F.col("html")).alias("content_hash"), "html"
     )
-    distinct = hashed.select(
-        F.col("content_hash").alias("url"), "html"
-    ).dropDuplicates(["url"])
-    rendered = render_pages(
-        distinct,
-        width=width,
-        config_kwargs=config_kwargs,
-        num_partitions=num_partitions,
-        salt=salt,
-        outlier_bytes=None,
-        # dropDuplicates already shuffled on the content hash — the data is
-        # hash-balanced by construction, so a second url-hash shuffle of
-        # every html byte would be pure overhead
-        repartition="none",
-    ).withColumnRenamed("url", "content_hash")
-    return hashed.select("url", "content_hash").join(
-        rendered, "content_hash"
-    ).select("url", "text", "error", "html_bytes", "text_bytes", "content_hash")
+    if num_partitions:
+        # same key as the groupBy below, so the aggregation reuses this
+        # exchange instead of adding a second one
+        hashed = hashed.repartition(num_partitions, "content_hash")
+    grouped = hashed.groupBy("content_hash").agg(
+        F.collect_list("url").alias("urls"),
+        # all group members are byte-identical (md5 key): any member's
+        # html is THE payload, so first() is deterministic in value
+        F.first("html").alias("html"),
+    )
+    schema = StructType(
+        RENDER_SCHEMA.fields + [StructField("urls", ArrayType(StringType()))]
+    )
+    fn = _render_batch_fn(
+        width, config_kwargs or {}, passthrough_cols=("urls",)
+    )
+    rendered = grouped.select(
+        F.col("content_hash").alias("url"), "urls", "html"
+    ).mapInPandas(fn, schema)
+    return rendered.select(
+        F.explode("urls").alias("url"),
+        "text",
+        "error",
+        "html_bytes",
+        "text_bytes",
+        F.col("url").alias("content_hash"),
+    )
 
 
 def render_metrics(rendered: DataFrame) -> DataFrame:
