@@ -168,7 +168,14 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from rust_html2text_spark.sources.pdfcorpus import pdf_pages_from_documents
 
-    docs = load_documents(spark, sf_dir)
+    # documents.parquet is one single-row-group file — an unsplittable
+    # 1-partition scan (guide §2.5 input skew).  Spread the raw documents
+    # (tiny rows) BEFORE the page synthesis so the synthesis expressions
+    # and both downstream kernels run at full parallelism; repartitioning
+    # after synthesis would leave the (heavier) synthesis single-task.
+    docs = load_documents(spark, sf_dir).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     html_edges = (
         extract_links(chrome_pages_from_documents(docs))
         .filter(F.col("nofollow") == 0)

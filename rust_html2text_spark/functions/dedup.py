@@ -556,13 +556,22 @@ def dup_components(
     exact/LSH/SimHash pair finding).
 
     Iterative min-label propagation with pointer jumping: each round (a)
-    takes the min label over every node's neighbourhood and (b) replaces
-    each label by its label's label — (b) halves the remaining distance to
-    the component minimum, so convergence is O(log diameter) rounds (the
-    same doubling idea as the published large-star/small-star method).
-    Each round is two shuffles; lineage is cut per round with
-    localCheckpoint so the plan does not grow with iterations.  The driver
-    holds only the convergence counter, never the labels.
+    takes the min label over every node's neighbourhood and (b) applies
+    the pointer jump label := label's label — each jump halves the
+    remaining distance to the component minimum, so convergence is
+    O(log diameter) rounds (the same doubling idea as the published
+    large-star/small-star method).  From round 3 on the jump is applied
+    TWICE per round (r07): shallow graphs (the common near-dup case —
+    star-shaped clusters, diameter ≤ 4) converge inside two single-jump
+    rounds and never pay the extra join, while deep graphs trade one
+    extra small-table join per round for half the number of rounds —
+    and round count (fixed job latency) is what dominates the wall
+    clock of the loop on a deep graph.  Lineage is cut per round with
+    localCheckpoint so the plan does not grow with iterations.  The previous label rides along as a `_moved` flag, so
+    the per-round convergence check is a narrow filter-count over the
+    just-checkpointed partitions — no join, no shuffle (r07; it used to
+    re-join each round's labels against the previous round's).  The
+    driver holds only the convergence counter, never the labels.
 
     Pass a dict as `stats` to receive {"rounds": n, "converged": bool}
     (the O(log diameter) convergence evidence)."""
@@ -573,6 +582,11 @@ def dup_components(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
+        # hash-partition on dst before the checkpoint: localCheckpoint
+        # preserves outputPartitioning, so the per-round neighbour join
+        # never re-shuffles the edge table — only the (smaller) label
+        # table moves each round
+        .repartition("dst")
         .localCheckpoint()
     )
     labels = (
@@ -590,35 +604,30 @@ def dup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = labels.join(
+        cur = labels.join(
             neighbor_min, labels.doc_id == neighbor_min.src, "left"
         ).select(
             "doc_id",
+            F.col("label").alias("_old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
             ).alias("label"),
         )
-        # pointer jumping: label := label's label (distance-halving)
-        parent = stepped.select(
-            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            stepped.join(parent, stepped.label == parent.p_id, "left")
-            .select(
+        for _jump in range(1 if rounds <= 2 else 2):
+            # pointer jumping: label := label's label (distance-halving)
+            parent = cur.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            cur = cur.join(parent, cur.label == parent.p_id, "left").select(
                 "doc_id",
+                "_old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = cur.localCheckpoint()
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     if changed > 0:
