@@ -94,6 +94,10 @@ def _is_ascii_ws(data: str) -> bool:
     return not data.strip(_ASCII_WS_STR)
 TABLE_SECTIONS = frozenset("tbody thead tfoot".split())
 
+_TABLE_STRUCT_TAGS = frozenset(
+    "tbody thead tfoot caption colgroup tr td th col".split()
+)
+
 # Scope boundaries for generic end-tag matching.
 _END_SCOPE_BOUNDARY = frozenset("td th table caption html".split())
 
@@ -140,6 +144,11 @@ class TreeBuilder(HTMLParser):
             self.html_node.append(self.head_node)
 
     def _ensure_body(self) -> None:
+        if self.body_started:
+            # body/html are never popped once entered (end-tag scopes stop
+            # at html; table pops stay above body), so the expensive
+            # "html_node in stack" scan below is settled — skip it
+            return
         self._ensure_html()
         self._ensure_head()
         if self.body_node is None:
@@ -248,7 +257,7 @@ class TreeBuilder(HTMLParser):
         self._ensure_body()
 
         # table-structure tags
-        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup", "tr", "td", "th", "col"):
+        if tag in _TABLE_STRUCT_TAGS:
             table = self._nearest_table()
             if table is None:
                 return  # ignored outside a table (WHATWG "in body")
@@ -450,6 +459,7 @@ from html.parser import (
     tagfind_tolerant as _tagfind,
 )
 
+_simple_start = _re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
 _commentclose = _re.compile(r"--\s*>")
 _endtagfind = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _markedclose = _re.compile(r"]\s*]\s*>")
@@ -491,6 +501,20 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
         c = rawdata[i + 1] if i + 1 < n else ""
         k = -1
         if c.isalpha() and c.isascii():
+            # fast path: `<name>` with no attributes / no self-closing
+            # slash — the overwhelmingly common shape — needs none of the
+            # tolerant start-tag machinery below (same result by
+            # construction: locatestarttagend ends at the name, the attr
+            # loop matches nothing, endmark is ">")
+            sm = _simple_start.match(rawdata, i + 1)
+            if sm:
+                tag = sm.group(1).lower()
+                builder.handle_starttag(tag, [])
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                    cdata_re = _cdata_res[tag]
+                i = sm.end()
+                continue
             # start tag (parse_starttag, html/parser.py:300-340)
             m = _locatestarttagend.match(rawdata, i)
             endpos = -1

@@ -18,6 +18,19 @@ from .wrapped import WS_PRE, WS_PRE_WRAP
 
 SUPERSCRIPTS = "⁰¹²³⁴⁵⁶⁷⁸⁹"
 
+_INLINE_STYLES = {
+    N.EM: ("start_emphasis", "end_emphasis"),
+    N.STRONG: ("start_strong", "end_strong"),
+    N.STRIKEOUT: ("start_strikeout", "end_strikeout"),
+    N.CODE: ("start_code", "end_code"),
+}
+
+# node kinds whose render branch reads size estimates (directly, or — for
+# TABLE — via the cells' content estimates in render_table_tree)
+_NEEDS_ESTIMATE = frozenset(
+    {N.HEADER, N.BLOCKQUOTE, N.UL, N.OL, N.DD, N.TABLE}
+)
+
 
 class PushedStyleInfo:
     """lib.rs:2344-2394."""
@@ -90,10 +103,23 @@ def precalc_size_estimate(node: RenderNode, context, decorator):
 
 def do_render_node(renderer: TextRenderer, tree: RenderNode):
     """lib.rs:2396-2674.  Result values are Option<SubRenderer> (None or a
-    sub-renderer); `NOTHING_SENTINEL` from a cons means no result."""
-    size_estimate = tree.size_estimate or N.SizeEstimate()
-    pushed_style = PushedStyleInfo.apply(renderer, tree.style)
+    sub-renderer); `NOTHING_SENTINEL` from a cons means no result.
+
+    Size estimates are computed lazily (r07): only the node kinds that
+    consume them (header/blockquote/lists/dd/table) trigger the
+    bottom-up estimation pass, and only over their own subtree — a
+    document (or subtree) of plain paragraphs never pays the second
+    walk the eager whole-tree pre-pass cost.  Same values by
+    construction: the estimation fold is the identical bottom-up
+    `precalc_size_estimate` fold, just rooted at the consuming node."""
     k = tree.kind
+    if tree.size_estimate is None and k in _NEEDS_ESTIMATE:
+        ctx, dec = renderer.estimate_ctx
+        tree_map_reduce(
+            ctx, tree, lambda c, n: precalc_size_estimate(n, c, dec)
+        )
+    size_estimate = tree.size_estimate
+    pushed_style = PushedStyleInfo.apply(renderer, tree.style)
 
     if k == N.TEXT:
         renderer.add_inline_text(tree.text)
@@ -115,14 +141,8 @@ def do_render_node(renderer: TextRenderer, tree: RenderNode):
             return None
 
         return Pending(tree.children, cons)
-    if k in (N.EM, N.STRONG, N.STRIKEOUT, N.CODE):
-        start = {
-            N.EM: "start_emphasis",
-            N.STRONG: "start_strong",
-            N.STRIKEOUT: "start_strikeout",
-            N.CODE: "start_code",
-        }[k]
-        end = start.replace("start_", "end_")
+    if k in _INLINE_STYLES:
+        start, end = _INLINE_STYLES[k]
         getattr(renderer, start)()
 
         def cons(r, _):
@@ -450,14 +470,12 @@ def render_table_row_vert(renderer: TextRenderer, row, pushed_style):
 
 
 def render_tree_to_string(context, renderer: SubRenderer, decorator, tree: RenderNode) -> SubRenderer:
-    """Two-pass layout (lib.rs:2298-2323)."""
-    tree_map_reduce(
-        context, tree, lambda ctx, node: precalc_size_estimate(node, ctx, decorator)
-    )
+    """Two-pass layout (lib.rs:2298-2323); the size-estimation pass runs
+    lazily per consuming subtree (see do_render_node), carried through
+    the render fold via `estimate_ctx`."""
     text_renderer = TextRenderer(renderer)
-    tree_map_reduce(
-        text_renderer, tree, lambda r, node: do_render_node(r, node)
-    )
+    text_renderer.estimate_ctx = (context, decorator)
+    tree_map_reduce(text_renderer, tree, do_render_node)
     renderer, links = text_renderer.into_inner()
     lines = renderer.finalise(links)
     if lines:

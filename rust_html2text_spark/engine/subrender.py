@@ -111,6 +111,7 @@ class SubRenderer:
         "wrapping",
         "decorator",
         "ann_stack",
+        "_tag_cache",
         "text_filter_stack",
         "pre_depth",
         "ws_stack",
@@ -126,6 +127,7 @@ class SubRenderer:
         self.wrapping: WrappedBlock | None = None
         self.decorator = decorator
         self.ann_stack: list = []
+        self._tag_cache: tuple | None = ()
         self.text_filter_stack: list = []
         self.pre_depth = 0
         self.ws_stack: list[int] = []
@@ -134,7 +136,18 @@ class SubRenderer:
     # -- internals ---------------------------------------------------------
 
     def _tag(self) -> tuple:
-        return tuple(self.ann_stack)
+        t = self._tag_cache
+        if t is None:
+            t = self._tag_cache = tuple(self.ann_stack)
+        return t
+
+    def _ann_push(self, annotation) -> None:
+        self.ann_stack.append(annotation)
+        self._tag_cache = None
+
+    def _ann_pop(self) -> None:
+        self.ann_stack.pop()
+        self._tag_cache = None
 
     def add_line(self, line: RenderLine) -> None:
         if self.pending_frags:
@@ -242,6 +255,7 @@ class SubRenderer:
             width, self.options, self.decorator.make_subblock_decorator()
         )
         result.ann_stack = list(self.ann_stack)
+        result._tag_cache = None
         return result
 
     def start_block(self) -> None:
@@ -498,37 +512,37 @@ class SubRenderer:
 
     def start_link(self, target: str) -> None:
         s, annotation = self.decorator.decorate_link_start(target)
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
 
     def end_link(self) -> None:
         s = self.decorator.decorate_link_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def start_emphasis(self) -> None:
         s, annotation = self.decorator.decorate_em_start()
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
 
     def end_emphasis(self) -> None:
         s = self.decorator.decorate_em_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def start_strong(self) -> None:
         s, annotation = self.decorator.decorate_strong_start()
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
 
     def end_strong(self) -> None:
         s = self.decorator.decorate_strong_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def start_strikeout(self) -> None:
         s, annotation = self.decorator.decorate_strikeout_start()
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
         if self.options.use_unicode_strikeout:
             self.text_filter_stack.append(filter_text_strikeout)
@@ -538,17 +552,17 @@ class SubRenderer:
             self.text_filter_stack.pop()
         s = self.decorator.decorate_strikeout_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def start_code(self) -> None:
         s, annotation = self.decorator.decorate_code_start()
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
 
     def end_code(self) -> None:
         s = self.decorator.decorate_code_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def add_image(self, src: str, title: str) -> None:
         mode = self.options.img_mode
@@ -565,9 +579,9 @@ class SubRenderer:
                 s, tag = self.decorator.decorate_image(src, self.options.img_replace)
         else:
             s, tag = self.decorator.decorate_image(src, title)
-        self.ann_stack.append(tag)
+        self._ann_push(tag)
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
     def header_prefix(self, level: int) -> str:
         return self.decorator.header_prefix(level)
@@ -589,30 +603,30 @@ class SubRenderer:
     def push_colour(self, colour) -> None:
         ann = self.decorator.push_colour(colour)
         if ann is not None:
-            self.ann_stack.append(ann)
+            self._ann_push(ann)
 
     def pop_colour(self) -> None:
         if self.decorator.pop_colour():
-            self.ann_stack.pop()
+            self._ann_pop()
 
     def push_bgcolour(self, colour) -> None:
         ann = self.decorator.push_bgcolour(colour)
         if ann is not None:
-            self.ann_stack.append(ann)
+            self._ann_push(ann)
 
     def pop_bgcolour(self) -> None:
         if self.decorator.pop_bgcolour():
-            self.ann_stack.pop()
+            self._ann_pop()
 
     def start_superscript(self) -> None:
         s, annotation = self.decorator.decorate_superscript_start()
-        self.ann_stack.append(annotation)
+        self._ann_push(annotation)
         self.add_inline_text(s)
 
     def end_superscript(self) -> None:
         s = self.decorator.decorate_superscript_end()
         self.add_inline_text(s)
-        self.ann_stack.pop()
+        self._ann_pop()
 
 
 from .textutil import is_unicode_whitespace as _is_uws
@@ -636,12 +650,14 @@ def _repeat(value):
 class TextRenderer:
     """Stack of SubRenderers + global link collection (text_renderer.rs:26-99)."""
 
-    __slots__ = ("subrender", "links", "table_depth")
+    __slots__ = ("subrender", "links", "table_depth", "estimate_ctx")
 
     def __init__(self, subrenderer: SubRenderer):
         self.subrender = [subrenderer]
         self.links: list[str] = []
         self.table_depth = 0
+        # (context, decorator) for the lazy size-estimation fold
+        self.estimate_ctx = None
 
     @property
     def top(self) -> SubRenderer:

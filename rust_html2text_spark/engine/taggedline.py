@@ -71,7 +71,7 @@ class TaggedLine:
             self.len += str_width(ts.s)
             if self.v:
                 prev = self.v[-1]
-                if isinstance(prev, TaggedString) and prev.tag == ts.tag:
+                if type(prev) is TaggedString and prev.tag == ts.tag:
                     prev.s += ts.s
                     return
             self.v.append(ts)
@@ -81,13 +81,13 @@ class TaggedLine:
         self.len += width
         if self.v:
             prev = self.v[-1]
-            if isinstance(prev, TaggedString) and prev.tag == tag:
+            if type(prev) is TaggedString and prev.tag == tag:
                 prev.s += s
                 return
         self.v.append(TaggedString(s, tag))
 
     def push(self, elt) -> None:
-        if isinstance(elt, TaggedString):
+        if type(elt) is TaggedString:
             self.push_str(elt)
         else:
             self.v.append(elt)
@@ -110,7 +110,7 @@ class TaggedLine:
             self.len += w
         if self.v:
             prev = self.v[-1]
-            if isinstance(prev, TaggedString) and prev.tag == tag:
+            if type(prev) is TaggedString and prev.tag == tag:
                 prev.s += c
                 return
         self.v.append(TaggedString(c, tag))

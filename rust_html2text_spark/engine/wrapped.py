@@ -30,6 +30,10 @@ import re as _re
 _NORMAL_RUNS = _re.compile(
     r"([!-~]+)([ \t\n\r\x0b\x0c]+)?|([ \t\n\r\x0b\x0c]+)|(.)", _re.S
 )
+# a text made ONLY of printable ASCII + ASCII whitespace: eligible for the
+# line-at-a-time bulk path (every char is width-1, every ws run collapses)
+_SIMPLE_TEXT = _re.compile(r"[!-~ \t\n\r\x0b\x0c]*\Z")
+_ASCII_WS = " \t\n\r\x0b\x0c"
 # pre mode: printable run | space run | other (incl \n, \t, unicode)
 _PRE_RUNS = _re.compile(r"([!-~]+)|( +)|(.)", _re.S)
 
@@ -274,10 +278,25 @@ class WrappedBlock:
         """
         wtag = (tag, WS_NORMAL)
         width = self.width
+        if (
+            text
+            and not self.word.v
+            and (
+                self.wslen == 0
+                or (self.wslen == 1 and self.spacetag == wtag)
+            )
+            and _SIMPLE_TEXT.match(text)
+        ):
+            # clean state + simple text: place whole LINES at a time (one
+            # span push per line instead of one per word) — byte-identical
+            # to the per-word path below by the same fitting/overflow/
+            # hard-wrap rules
+            self._add_text_normal_bulk(text, wtag)
+            return
         for m in _NORMAL_RUNS.finditer(text):
-            g = m.group(1)
+            g, g_ws, g3, c = m.groups()
             if g is not None:  # printable ASCII word run (all width-1)
-                complete = m.group(2) is not None  # ASCII ws follows
+                complete = g_ws is not None  # ASCII ws follows
                 if (
                     complete
                     and not self.word.v
@@ -327,15 +346,14 @@ class WrappedBlock:
                         self.spacetag = wtag
                         self.wslen = 1
                 continue
-            g = m.group(3)
-            if g is not None:  # ASCII whitespace run (no preceding word)
+            if g3 is not None:  # ASCII whitespace run (no preceding word)
                 if self.wordlen > 0:
                     self.flush_word()
                 if self.line.len > 0 and self.wslen == 0:
                     self.spacetag = wtag
                     self.wslen = 1
                 continue
-            c = m.group(4)  # single non-ASCII (or control) char
+            # c: single non-ASCII (or control) char
             if is_wordbreak_point(c) and self.wordlen > 0:
                 self.flush_word()
             if c == "\u200b":
@@ -350,6 +368,77 @@ class WrappedBlock:
                     self.wordlen += cwidth
                     self.word.push_char(c, wtag)
 
+    def _add_text_normal_bulk(self, text: str, wtag) -> None:
+        """Line-at-a-time variant of the Normal-mode fast path.
+
+        Preconditions (checked by the caller): text is non-empty
+        printable-ASCII + ASCII whitespace only, the word buffer is
+        empty, and any pending space carries this same tag — so every
+        complete word takes the direct-placement branch of the per-word
+        fast path, and consecutive words on one line merge into a single
+        span anyway.  Semantics per word are the per-word fast path's:
+        fit → append (with one collapsed space), overflow → drop the
+        pending space and start a new line, wider-than-width → hard
+        character wrap, trailing pending space iff the line is
+        non-empty."""
+        line = self.line
+        width = self.width
+        words = text.split()
+        if not words:
+            # pure whitespace run
+            if line.len > 0 and self.wslen == 0:
+                self.spacetag = wtag
+                self.wslen = 1
+            return
+        if text[0] in _ASCII_WS and line.len > 0 and self.wslen == 0:
+            self.spacetag = wtag
+            self.wslen = 1
+        complete = words if text[-1] in _ASCII_WS else words[:-1]
+        if complete:
+            pend = self.wslen  # 0 or 1, tag == wtag by precondition
+            self.wslen = 0
+            self.spacetag = None
+            chunk: list[str] = []
+            chunklen = 0
+            for g in complete:
+                wl = len(g)
+                sep = 1 if (chunk or pend) else 0
+                if line.len + chunklen + sep + wl <= width:
+                    chunk.append(g)
+                    chunklen += sep + wl
+                    continue
+                if chunk:
+                    s = " ".join(chunk)
+                    if pend:
+                        s = " " + s
+                    line.push_known(s, wtag, chunklen)
+                    chunk = []
+                    chunklen = 0
+                pend = 0
+                self.flush_line()
+                line = self.line
+                if wl <= width:
+                    chunk = [g]
+                    chunklen = wl
+                else:
+                    self.word.push_str(TaggedString(g, wtag))
+                    self.flush_word_hard_wrap()
+                    line = self.line
+                    pend = 1 if line.len > 0 else 0
+            if chunk:
+                s = " ".join(chunk)
+                if pend:
+                    s = " " + s
+                line.push_known(s, wtag, chunklen)
+            self.pre_wrapped = False
+            if line.len > 0:
+                self.spacetag = wtag
+                self.wslen = 1
+        if text[-1] not in _ASCII_WS:
+            g = words[-1]
+            self.wordlen += len(g)
+            self.word.push_str(TaggedString(g, wtag))
+
     def _add_text_pre_sametag(self, text: str, tag) -> None:
         """Bulk variant of the WhiteSpace::Pre loop for main_tag == wrap_tag:
         printable-ASCII runs and space runs append whole; \\n, \\t and
@@ -357,7 +446,7 @@ class WrappedBlock:
         wtag = (tag, WS_PRE)
         width = self.width
         for m in _PRE_RUNS.finditer(text):
-            g = m.group(1)
+            g, g_sp, c = m.groups()
             if g is not None:  # printable ASCII run (no whitespace)
                 wl = len(g)
                 self.wordlen += wl
@@ -367,18 +456,16 @@ class WrappedBlock:
                     self.pre_wrapped = True
                 self.word.push_str(TaggedString(g, wtag))
                 continue
-            g = m.group(2)
-            if g is not None:  # run of plain spaces
+            if g_sp is not None:  # run of plain spaces
                 if self.word.is_empty():
-                    self.wslen += len(g)
+                    self.wslen += len(g_sp)
                     self.spacetag = wtag
                 else:
                     # in-word whitespace: no pre_wrapped width check
                     # (only non-whitespace chars trigger it, rs:790-805)
-                    self.wordlen += len(g)
-                    self.word.push_str(TaggedString(g, wtag))
+                    self.wordlen += len(g_sp)
+                    self.word.push_str(TaggedString(g_sp, wtag))
                 continue
-            c = m.group(3)
             if c == "\n":
                 self.flush_word()
                 self.force_flush_line()
