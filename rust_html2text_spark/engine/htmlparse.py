@@ -460,6 +460,11 @@ from html.parser import (
 )
 
 _simple_start = _re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
+# `<name attr="value">` with exactly one double-quoted attribute and single
+# spaces — the next most common shape (<a href=..>, <div class=..>)
+_one_attr_start = _re.compile(
+    r'([a-zA-Z][a-zA-Z0-9]*) ([a-zA-Z][a-zA-Z0-9-]*)="([^"<]*)" ?>'
+)
 _commentclose = _re.compile(r"--\s*>")
 _endtagfind = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _markedclose = _re.compile(r"]\s*]\s*>")
@@ -510,6 +515,20 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
             if sm:
                 tag = sm.group(1).lower()
                 builder.handle_starttag(tag, [])
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                    cdata_re = _cdata_res[tag]
+                i = sm.end()
+                continue
+            sm = _one_attr_start.match(rawdata, i + 1)
+            if sm:
+                # same result as the tolerant machinery: one attr pair,
+                # value unescaped iff it contains a charref
+                tag, aname, aval = sm.groups()
+                tag = tag.lower()
+                if aval and "&" in aval:
+                    aval = _unescape(aval)
+                builder.handle_starttag(tag, [(aname.lower(), aval)])
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
                     cdata_re = _cdata_res[tag]

@@ -44,6 +44,11 @@ __all__ = [
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
 
+# lexer fast paths (r07): one C-level regex step for the common shapes
+_WS_OR_COMMENT_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+# regular name chars: not whitespace, not a delimiter, not the '#' escape
+_NAME_RUN_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%#]*")
+
 
 class PdfError(ValueError):
     """Structurally unusable PDF input."""
@@ -107,23 +112,11 @@ class Lexer:
     # -- low level ---------------------------------------------------
 
     def skip_ws(self) -> None:
-        data, n = self.data, len(self.data)
-        while self.pos < n:
-            c = data[self.pos]
-            if c in WHITESPACE:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to end of line
-                nl = -1
-                for term in (b"\r", b"\n"):
-                    i = data.find(term, self.pos)
-                    if i != -1 and (nl == -1 or i < nl):
-                        nl = i
-                if nl == -1:
-                    self.pos = n
-                else:
-                    self.pos = nl + 1
-            else:
-                return
+        # whitespace runs and %-comments (terminated by the following
+        # ws run or EOF) in one regex step
+        m = _WS_OR_COMMENT_RE.match(self.data, self.pos)
+        if m:
+            self.pos = m.end()
 
     def peek(self) -> int:
         if self.pos >= len(self.data):
@@ -149,8 +142,15 @@ class Lexer:
     def parse_name(self) -> Name:
         assert self.data[self.pos] == 0x2F  # '/'
         self.pos += 1
-        out = bytearray()
         data, n = self.data, len(self.data)
+        # fast path: a plain name with no '#xx' escape
+        m = _NAME_RUN_RE.match(data, self.pos)
+        end = m.end()
+        if end >= n or data[end] != 0x23:
+            start = self.pos
+            self.pos = end
+            return Name(data[start:end].decode("latin-1"))
+        out = bytearray()
         while self.pos < n:
             c = data[self.pos]
             if c in WHITESPACE or c in DELIMITERS:
@@ -169,9 +169,16 @@ class Lexer:
     def parse_literal_string(self) -> bytes:
         assert self.data[self.pos] == 0x28  # '('
         self.pos += 1
+        data, n = self.data, len(self.data)
+        # fast path: no escapes, no nesting before the closing paren
+        j = data.find(b")", self.pos)
+        if j != -1:
+            seg = data[self.pos : j]
+            if b"\\" not in seg and b"(" not in seg:
+                self.pos = j + 1
+                return bytes(seg)
         out = bytearray()
         depth = 1
-        data, n = self.data, len(self.data)
         while self.pos < n:
             c = data[self.pos]
             if c == 0x5C:  # backslash

@@ -200,7 +200,9 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
 class Font:
     """Decoded font state: code iteration, unicode mapping, widths."""
 
-    __slots__ = ("is_cid", "widths", "default_width", "tounicode", "encoding")
+    __slots__ = (
+        "is_cid", "widths", "default_width", "tounicode", "encoding", "_fast",
+    )
 
     def __init__(self) -> None:
         self.is_cid = False
@@ -208,6 +210,20 @@ class Font:
         self.default_width = 500.0
         self.tounicode: dict[int, str] | None = None
         self.encoding: dict[int, str] = {}
+        self._fast = None
+
+    def fast_tables(self):
+        """(decoded, base_width) 256-entry tables for simple (1-byte)
+        fonts — one list index per code in the show loop instead of
+        dict probes + a division (identical values: base_width is the
+        same width_of(code)/1000.0 the slow path computes)."""
+        t = self._fast
+        if t is None:
+            dec = [self.decode_code(c) for c in range(256)]
+            wget = self.widths.get
+            dw = self.default_width
+            t = self._fast = (dec, [wget(c, dw) / 1000.0 for c in range(256)])
+        return t
 
     @classmethod
     def load(cls, doc: PdfDocument, font_dict: dict) -> "Font":
@@ -429,13 +445,27 @@ def interpret_page(
         scale = (rm[0] ** 2 + rm[1] ** 2) ** 0.5  # device text scale
         run = _Run(rm[4], rm[5], g.size * scale or 1.0)
         advance = 0.0  # text-space advance accumulated across the string
-        for code in g.font.iter_codes(raw):
-            ch = g.font.decode_code(code)
-            run.text.append(ch)
-            w = g.font.width_of(code) / 1000.0 * g.size + g.char_sp
-            if not g.font.is_cid and code == 32:
-                w += g.word_sp
-            advance += w * g.hscale
+        font = g.font
+        if not font.is_cid:
+            # simple 1-byte font: table lookups, same arithmetic order
+            dec, bw = font.fast_tables()
+            size = g.size
+            char_sp = g.char_sp
+            word_sp = g.word_sp
+            hscale = g.hscale
+            text_append = run.text.append
+            for code in raw:
+                text_append(dec[code])
+                w = bw[code] * size + char_sp
+                if code == 32:
+                    w += word_sp
+                advance += w * hscale
+        else:
+            for code in font.iter_codes(raw):
+                ch = font.decode_code(code)
+                run.text.append(ch)
+                w = font.width_of(code) / 1000.0 * g.size + g.char_sp
+                advance += w * g.hscale
         tm = _mat_mul((1, 0, 0, 1, advance, 0), tm)
         rm_end = _mat_mul(tm, g.ctm)
         run.end_x = rm_end[4]

@@ -32,6 +32,26 @@ _NEEDS_ESTIMATE = frozenset(
 )
 
 
+# Fast-path singletons (r07): most nodes carry DEFAULT_STYLE (nothing to
+# push/unwind), and the common container kinds then need no per-node
+# closure either.
+_FINISHED_NONE = None  # assigned after PushedStyleInfo is defined
+
+
+def _cons_plain(r, _):
+    return None
+
+
+def _cons_end_block(r, _):
+    r.end_block()
+    return None
+
+
+def _cons_end_link(r, _):
+    r.end_link()
+    return None
+
+
 class PushedStyleInfo:
     """lib.rs:2344-2394."""
 
@@ -72,6 +92,10 @@ class PushedStyleInfo:
             renderer.pop_ws()
         if self.preformat:
             renderer.pop_preformat()
+
+
+_NO_STYLE = PushedStyleInfo()
+_FINISHED_NONE = Finished(None)
 
 
 def precalc_size_estimate(node: RenderNode, context, decorator):
@@ -119,13 +143,21 @@ def do_render_node(renderer: TextRenderer, tree: RenderNode):
             ctx, tree, lambda c, n: precalc_size_estimate(n, c, dec)
         )
     size_estimate = tree.size_estimate
-    pushed_style = PushedStyleInfo.apply(renderer, tree.style)
+    style = tree.style
+    if style is N.DEFAULT_STYLE:
+        # nothing to push, nothing to unwind
+        pushed_style = _NO_STYLE
+    else:
+        pushed_style = PushedStyleInfo.apply(renderer, style)
 
     if k == N.TEXT:
         renderer.add_inline_text(tree.text)
-        pushed_style.unwind(renderer)
-        return Finished(None)
+        if pushed_style is not _NO_STYLE:
+            pushed_style.unwind(renderer)
+        return _FINISHED_NONE
     if k == N.CONTAINER:
+        if pushed_style is _NO_STYLE:
+            return Pending(tree.children, _cons_plain)
 
         def cons(r, _):
             pushed_style.unwind(r)
@@ -134,6 +166,8 @@ def do_render_node(renderer: TextRenderer, tree: RenderNode):
         return Pending(tree.children, cons)
     if k == N.LINK:
         renderer.start_link(tree.text)
+        if pushed_style is _NO_STYLE:
+            return Pending(tree.children, _cons_end_link)
 
         def cons(r, _):
             r.end_link()
@@ -161,6 +195,8 @@ def do_render_node(renderer: TextRenderer, tree: RenderNode):
         return Finished(None)
     if k in (N.BLOCK, N.LIST_ITEM):
         renderer.start_block()
+        if pushed_style is _NO_STYLE:
+            return Pending(tree.children, _cons_end_block)
 
         def cons(r, _):
             r.end_block()

@@ -315,21 +315,20 @@ class SubRenderer:
         return self.wrapping
 
     def add_inline_text(self, text: str) -> None:
-        ws_mode = self.ws_mode()
-        if (
-            not preserve_whitespace(ws_mode)
-            and self.at_block_end
-            and _all_whitespace(text)
-        ):
-            return
+        ws_stack = self.ws_stack
+        ws_mode = ws_stack[-1] if ws_stack else WS_NORMAL
         if self.at_block_end:
+            if ws_mode == WS_NORMAL and _all_whitespace(text):
+                return
             self.start_block()
         filtered_text = text
         for filt in self.text_filter_stack:
             out = filt(filtered_text)
             if out is not None:
                 filtered_text = out
-        wrapping = self._get_wrapping()
+        wrapping = self.wrapping
+        if wrapping is None:
+            wrapping = self._get_wrapping()
         if self.pre_depth > 0:
             main_tag = tuple(
                 self.ann_stack + [self.decorator.decorate_preformat_first()]

@@ -34,6 +34,7 @@ _NORMAL_RUNS = _re.compile(
 # line-at-a-time bulk path (every char is width-1, every ws run collapses)
 _SIMPLE_TEXT = _re.compile(r"[!-~ \t\n\r\x0b\x0c]*\Z")
 _ASCII_WS = " \t\n\r\x0b\x0c"
+_WORD_RUN = _re.compile(r"[!-~]+")
 # pre mode: printable run | space run | other (incl \n, \t, unicode)
 _PRE_RUNS = _re.compile(r"([!-~]+)|( +)|(.)", _re.S)
 
@@ -278,21 +279,37 @@ class WrappedBlock:
         """
         wtag = (tag, WS_NORMAL)
         width = self.width
-        if (
-            text
-            and not self.word.v
-            and (
+        if text and _SIMPLE_TEXT.match(text):
+            # Simple text: place whole LINES at a time (one span push per
+            # line instead of one per word) — byte-identical to the
+            # per-word path below by the same fitting/overflow/hard-wrap
+            # rules.  A buffered word (a span boundary fell mid-word, the
+            # inline-markup case) is first continued/flushed exactly as
+            # the per-word buffered path would.
+            if self.word.v:
+                m = _WORD_RUN.match(text)
+                if m:
+                    g = m.group()
+                    self.wordlen += len(g)
+                    self.word.push_str(TaggedString(g, wtag))
+                    if m.end() == len(text):
+                        return
+                    self.flush_word()
+                    if self.line.len > 0 and self.wslen == 0:
+                        self.spacetag = wtag
+                        self.wslen = 1
+                    self._add_text_normal_bulk(text[m.end():], wtag)
+                    return
+                if self.wordlen > 0:
+                    # text starts with whitespace: the per-word ws-run
+                    # branch flushes the buffered word first
+                    self.flush_word()
+            if not self.word.v and (
                 self.wslen == 0
                 or (self.wslen == 1 and self.spacetag == wtag)
-            )
-            and _SIMPLE_TEXT.match(text)
-        ):
-            # clean state + simple text: place whole LINES at a time (one
-            # span push per line instead of one per word) — byte-identical
-            # to the per-word path below by the same fitting/overflow/
-            # hard-wrap rules
-            self._add_text_normal_bulk(text, wtag)
-            return
+            ):
+                self._add_text_normal_bulk(text, wtag)
+                return
         for m in _NORMAL_RUNS.finditer(text):
             g, g_ws, g3, c = m.groups()
             if g is not None:  # printable ASCII word run (all width-1)
