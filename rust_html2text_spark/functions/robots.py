@@ -347,39 +347,40 @@ def frontier_allowed(
     (allowed boolean, matched_rule string).  Longest-match wins, allow
     wins ties, no matching rule (or no rules for the host) = allowed —
     RFC 9309 §2.2.2.  Matching is against path+query (fragment
-    stripped).  Plan: derive host+path, LEFT join rules on host
-    (codegen LIKE match), argmax by (plen, allow) per edge."""
+    stripped).
+
+    Plan (r07): the rules aggregate to ONE array row per host (bounded
+    by MAX_RULES_PER_HOST), edges LEFT-join that on host, and the
+    longest-match argmax runs inside the row as
+    array_max(transform(filter(...)))  — one shuffle of the rules + the
+    host-keyed edge join, versus the previous exploded edges×rules join
+    whose output re-shuffled on a per-edge id for the argmax group-by.
+    This also removes the `monotonically_increasing_id` edge key (rows
+    could regroup under fresh ids if a stage retried — the classic
+    mono-id hazard): duplicate edges now simply pass through, no
+    grouping at all, deterministic by construction."""
     host = F.regexp_extract(F.col(target_col), HOST_RE, 1)
     path = _path_query(F.col(target_col))
-    # a unique per-row id keeps duplicate edges (same url→target via
-    # several pages/ordinals) distinct through the argmax group-by; it is
-    # plan-internal and dropped from the output
-    keyed = (
-        edges.withColumn("_eid", F.monotonically_increasing_id())
-        .withColumn("_host", host)
-        .withColumn("_path", path)
-    )
     edge_cols = edges.columns
-    j = keyed.join(
-        rules.withColumnRenamed("host", "_host"),
-        ["_host"],
-        "left",
-    ).withColumn(
-        "_hit",
-        # Column.like() takes only literals; column-to-column LIKE goes
-        # through the SQL expression (still whole-stage codegen)
-        F.col("pattern_like").isNotNull() & F.expr("_path LIKE pattern_like"),
+    host_rules = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct("plen", "allow", "pattern", "pattern_like")
+        ).alias("_rules")
+    ).withColumnRenamed("host", "_host")
+    j = (
+        edges.withColumn("_host", host)
+        .withColumn("_path", path)
+        .join(host_rules, "_host", "left")
     )
-    best = F.max(
-        F.when(
-            F.col("_hit"),
-            F.struct(
-                F.col("plen"), F.col("allow"), F.col("pattern")
-            ),
-        )
-    ).alias("_best")
-    out = j.groupBy("_eid", *edge_cols).agg(best).drop("_eid")
-    return out.select(
+    # same ordering as max(struct(plen, allow, pattern)): longest pattern
+    # first, allow beats disallow on ties
+    best = F.expr(
+        "array_max(transform("
+        "  filter(_rules, r -> _path LIKE r.pattern_like),"
+        "  r -> struct(r.plen AS plen, r.allow AS allow, r.pattern AS pattern)"
+        "))"
+    )
+    return j.withColumn("_best", best).select(
         *edge_cols,
         F.coalesce(F.col("_best.allow") == 1, F.lit(True)).alias("allowed"),
         F.col("_best.pattern").alias("matched_rule"),
@@ -486,12 +487,18 @@ def allocate_crawl_budget(
     function of its inputs.
 
     Scale shape: apportionment runs on the HOST table (one row per
-    host — tiny relative to edges); its only global step is the
-    remainder ranking, a sort of that host table.  The edge-side work
-    is one host-keyed join plus the same (host)-window the scheduler
-    already uses.  The two scalar totals (Σquality, Σfloor) broadcast
-    as 1-row frames — the same pattern as token_rarity's corpus
-    total."""
+    host — tiny relative to edges).  The remainder ranking is a
+    DISTRIBUTED rank (r07; it used to be a Window.orderBy with no
+    partitionBy, which collapses the whole host table into one task —
+    the one scale-killer the r6 review flagged): range-partition by
+    (_rem desc, host asc), rank within each range partition in
+    parallel, then add per-partition offsets — the only single-task
+    step is a prefix-sum window over the per-partition COUNTS, whose
+    row count is the shuffle-partition count, not the host count.  The
+    edge-side work is one host-keyed join plus the same (host)-window
+    the scheduler already uses.  The two scalar totals (Σquality,
+    Σfloor) broadcast as 1-row frames — the same pattern as
+    token_rarity's corpus total."""
     from pyspark.sql import Window
 
     if total_budget < 0:
@@ -508,13 +515,29 @@ def allocate_crawl_budget(
         .withColumn("_rem", F.col("_share") - F.col("_base"))
     )
     base_sum = share.agg(F.sum("_base").alias("_bs"))
-    w_rank = Window.orderBy(F.col("_rem").desc(), F.col("host").asc())
+    # distributed global rank by (_rem desc, host asc): range partition,
+    # rank locally, offset by the cumulative counts of earlier partitions
+    ranked_src = share.repartitionByRange(
+        F.col("_rem").desc(), F.col("host").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("_rem").desc(), F.col("host").asc()
+    )
+    local = ranked_src.withColumn("_lrank", F.row_number().over(w_local))
+    counts = ranked_src.groupBy("_pid").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
     budgets = (
-        share.crossJoin(F.broadcast(base_sum))
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_lrank") + F.col("_off"))
+        .crossJoin(F.broadcast(base_sum))
         .withColumn("_extra_n", F.greatest(
             F.lit(total_budget) - F.col("_bs"), F.lit(0)
         ))
-        .withColumn("_rank", F.row_number().over(w_rank))
         .select(
             "host",
             (

@@ -622,3 +622,91 @@ def test_bom_robots_txt_still_parses():
     assert parse_robots_rules(txt, "bot") == [("/x", 0)]
     pol = parse_robots("﻿User-agent: *\nCrawl-delay: 2\n", "bot")
     assert pol.crawl_delay == 2.0
+
+
+def test_allocate_crawl_budget_distributed_rank(spark):
+    """r07: the largest-remainder ranking must not collapse the host table
+    into one task (no Window ordered on _rem without a partition spec in
+    the physical plan), and must stay EXACT — budgets sum to the budget —
+    on a large skewed host table."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.functions.robots import allocate_crawl_budget
+
+    n_hosts = 100_000
+    hosts = spark.range(n_hosts).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        # heavy skew: a handful of giants + a long uniform tail
+        F.when(F.col("id") < 5, 1e6).otherwise(
+            1.0 + (F.col("id") % 97) / 97.0
+        ).alias("quality"),
+    )
+    sched = hosts.select(
+        "host",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/")).alias("target"),
+        F.col("host").alias("via_url"),
+        F.lit("html").alias("kind"),
+        F.lit(0).alias("fetch_wave"),
+    )
+    budget = 12_345
+    out = allocate_crawl_budget(sched, hosts, total_budget=budget)
+    # plan pin: every row_number/rank window over the remainder sort is
+    # partitioned (by _pid); the only unpartitioned window is the
+    # prefix-sum over per-partition counts (rows == partition count)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "_rem" in spec:
+            assert spec.strip().startswith("_pid"), spec
+    # exactness: one fetch per host scheduled, so Σ min(host_budget, fetched)
+    # over distinct hosts with ≤1 target each == Σ host_budget when budgets
+    # are ≤ 1... instead check the apportionment directly: budgets sum to
+    # exactly the budget (enough hosts exist to absorb it)
+    budgets = (
+        out.select("host", "host_budget").distinct().agg(
+            F.sum("host_budget")
+        ).collect()[0][0]
+    )
+    assert budgets == budget, budgets
+
+
+def test_frontier_allowed_duplicate_edges_deterministic(spark):
+    """r07: duplicate edges (same url→target via several ordinals) must
+    survive the gate with one output row each, and two materializations
+    must be row-identical (the old monotonically_increasing_id argmax key
+    could regroup rows under stage retries)."""
+    from rust_html2text_spark.functions.robots import (
+        frontier_allowed,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("dup.example", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")],
+        "host string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    edges = spark.createDataFrame(
+        [
+            ("u1", "https://dup.example/private/ok/page", "html"),
+            ("u1", "https://dup.example/private/ok/page", "html"),
+            ("u2", "https://dup.example/private/x", "html"),
+            ("u3", "https://other.example/anything", "pdf"),
+        ],
+        "url string, target string, kind string",
+    )
+    gated = frontier_allowed(edges, rules)
+    rows1 = sorted(map(tuple, gated.collect()))
+    rows2 = sorted(map(tuple, frontier_allowed(edges, rules).collect()))
+    assert rows1 == rows2
+    assert len(rows1) == 4  # duplicates preserved
+    by_target = {}
+    for url, target, kind, allowed, matched in rows1:
+        by_target.setdefault(target, []).append((allowed, matched))
+    assert by_target["https://dup.example/private/ok/page"] == [
+        (True, "/private/ok"),
+        (True, "/private/ok"),
+    ]
+    assert by_target["https://dup.example/private/x"] == [(False, "/private")]
+    assert by_target["https://other.example/anything"] == [(True, None)]
