@@ -729,15 +729,46 @@ def iter_wet_file(path: str) -> Iterator[tuple[str, datetime | None, str]]:
         yield url, ts, block.decode("utf-8", "replace")
 
 
-def export_wet(rendered, path: str, gzip_members: bool = True) -> int:
+EXPORT_WET_MAX_ROWS = 100_000
+EXPORT_WET_MAX_BYTES = 256 << 20
+
+
+def export_wet(
+    rendered,
+    path: str,
+    gzip_members: bool = True,
+    max_rows: int = EXPORT_WET_MAX_ROWS,
+    max_bytes: int = EXPORT_WET_MAX_BYTES,
+) -> int:
     """Export an extraction result DataFrame (url, text, ...) as ONE WET
     file — the driver-side collector, TEST-SCOPED ONLY (collects every
     text row to the driver).  Production exports go through
     export_wet_partitioned, which never materializes rows on the
-    driver."""
+    driver.
+
+    Guarded (r07): the CLI routes any `.wet`/`.gz` output path here, so
+    an operator pointing a real run at `out.wet.gz` would otherwise
+    collect the whole corpus onto the driver.  The result size is
+    counted first (a cheap distributed agg) and anything over
+    `max_rows`/`max_bytes` raises with a pointer at the partitioned
+    directory form instead of OOMing the driver."""
+    from pyspark.sql import functions as F
+
     has_enc = "encoding" in rendered.columns
     cols = ["url", "text"] + (["encoding"] if has_enc else [])
-    rows = rendered.select(*cols).filter("text is not null").collect()
+    sel = rendered.select(*cols).filter("text is not null")
+    stats = sel.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
+    ).collect()[0]
+    if stats["n"] > max_rows or (stats["b"] or 0) > max_bytes:
+        raise ValueError(
+            f"export_wet collects every row to the driver and this result "
+            f"({stats['n']} rows, {stats['b'] or 0} text chars) exceeds the "
+            f"single-file cap ({max_rows} rows / {max_bytes} bytes); "
+            f"export to a DIRECTORY path instead (partitioned WET shards, "
+            f"no driver collect)"
+        )
+    rows = sel.collect()
     return write_wet_file(
         path,
         [

@@ -565,3 +565,23 @@ def test_wet_partitioned_export_without_ts_and_empty_partitions(spark, tmp_path)
         iter_wet_file(os.path.join(out, man["shards"][0]["shard"]))
     )
     assert [(u, t) for u, _ts, t in recs] == [("https://e.x/a", "alpha")]
+
+
+def test_export_wet_single_file_guard(spark, tmp_path):
+    """r07: the single-file WET exporter must refuse (cleanly, with a
+    pointer at the partitioned form) rather than collect an over-cap
+    result onto the driver."""
+    import pytest
+
+    from rust_html2text_spark.sources.warc import export_wet
+
+    df = spark.range(10).selectExpr(
+        "concat('https://h/', id) AS url", "repeat('x', 100) AS text"
+    )
+    with pytest.raises(ValueError, match="DIRECTORY"):
+        export_wet(df, str(tmp_path / "big.wet.gz"), max_rows=5)
+    with pytest.raises(ValueError, match="DIRECTORY"):
+        export_wet(df, str(tmp_path / "big2.wet.gz"), max_bytes=500)
+    # under the caps it still writes the file
+    n = export_wet(df, str(tmp_path / "ok.wet.gz"), max_rows=100)
+    assert n == 10
