@@ -217,6 +217,12 @@ def _links_batch_fn(
     charset_fallback: str = "utf-8",
 ):
     def links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import os
         import sys
 
@@ -296,6 +302,12 @@ def extract_links(
 
 def _meta_batch_fn(xml_mode, charset_sniff: bool = False, charset_fallback: str = "utf-8"):
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import os
         import sys
 
@@ -413,6 +425,12 @@ def _full_batch_fn(
     charset_fallback: str = "utf-8",
 ):
     def full_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import json
         import os
         import sys

@@ -39,6 +39,12 @@ PDF_SCHEMA = StructType(
 
 def _pdf_batch_fn(page_sep: str):
     def pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import os
         import sys
 
@@ -104,6 +110,12 @@ LINKS_SCHEMA = StructType(
 
 def _pdf_links_batch_fn():
     def links_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import os
         import sys
 
@@ -186,6 +198,12 @@ def _mixed_batch_fn(
     charset_fallback: str = "utf-8",
 ):
     def mixed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gc
+
+        # same rationale as the render kernel: the engine allocates
+        # heavily but produces (essentially) no cyclic garbage in the
+        # hot loop; raising the gen-0 threshold buys ~10% in the worker
+        gc.set_threshold(200_000, 50, 50)
         import os
         import sys
 
