@@ -326,6 +326,12 @@ class StyleData:
 
     def computed_style(self, parent_style: ComputedStyle, node, use_doc_css: bool) -> ComputedStyle:
         """css.rs:539-620."""
+        if not use_doc_css and not (
+            self.agent_rules or self.user_rules or self.author_rules
+        ):
+            # no stylesheets at all (the plain-config path): nothing can
+            # match, the cascade below would return parent_style anyway
+            return parent_style
         name = node.name if node.kind == "element" else None
         matched = []
         for by_element, generic in self._get_index():

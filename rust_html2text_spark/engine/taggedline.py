@@ -67,12 +67,17 @@ class TaggedLine:
         return True
 
     def push_str(self, ts: TaggedString) -> None:
-        if ts.s:
-            self.len += str_width(ts.s)
+        s = ts.s
+        if s:
+            # inline ASCII fast path of str_width (hot: every span push)
+            if s.isascii() and s.isprintable():
+                self.len += len(s)
+            else:
+                self.len += str_width(s)
             if self.v:
                 prev = self.v[-1]
                 if type(prev) is TaggedString and prev.tag == ts.tag:
-                    prev.s += ts.s
+                    prev.s += s
                     return
             self.v.append(ts)
 
