@@ -174,7 +174,13 @@ class WrappedBlock:
         self.line = TaggedLine()
         if self.pad_blocks:
             tmp_line.pad_to(self.width, (self.default_tag, WS_NORMAL))
-        self.text.append(tmp_line.map_tag(lambda ww: ww[0]))
+        # strip the (tag, ws_mode) wrapper in place: the spans are owned
+        # exclusively by this line at flush time, so mutating beats the
+        # map_tag copy (two allocs per flushed line)
+        for e in tmp_line.v:
+            if type(e) is TaggedString:
+                e.tag = e.tag[0]
+        self.text.append(tmp_line)
 
     def flush(self) -> None:
         self.flush_word()
