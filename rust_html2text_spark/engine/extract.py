@@ -107,7 +107,9 @@ def _subtree_stats(root: DomNode, memo: dict) -> tuple[int, int, int]:
         return got
     if root.kind == "text":
         t = root.text or ""
-        chars = sum(len(w) for w in t.split())
+        # non-ws chars == sum(len(w) for w in t.split()); the join form
+        # stays in C instead of a per-word Python generator (hot path)
+        chars = len("".join(t.split()))
         # comma signal covers the CJK clause separators too (U+FF0C
         # full-width comma, U+3001 ideographic comma) — ASCII-only
         # counting starves CJK prose of its strongest prose signal

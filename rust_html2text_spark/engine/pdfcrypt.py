@@ -53,9 +53,30 @@ def _pad_password(pw: bytes) -> bytes:
 # RC4
 # ---------------------------------------------------------------------------
 
+# Optional C-backed RC4 (the `cryptography` package, which carries its own
+# RC4 for legacy formats): ~30x the pure-Python keystream on the decrypt
+# hot path.  PDF object keys are 5-16 bytes; the few sizes the backend
+# rejects (e.g. 96-bit from /Length 56) take the pure-Python path below —
+# same keystream either way, RC4 has exactly one definition.
+try:  # pragma: no cover - import shape varies across cryptography versions
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4 as _ARC4
+    except ImportError:
+        from cryptography.hazmat.primitives.ciphers.algorithms import (
+            ARC4 as _ARC4,
+        )
+    from cryptography.hazmat.primitives.ciphers import Cipher as _Cipher
+
+    _ARC4_KEY_BITS = frozenset(_ARC4.key_sizes)
+except ImportError:
+    _ARC4 = None
+    _ARC4_KEY_BITS = frozenset()
+
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    if _ARC4 is not None and len(key) * 8 in _ARC4_KEY_BITS:
+        return _Cipher(_ARC4(key), mode=None).encryptor().update(data)
     S = list(range(256))
     j = 0
     klen = len(key)

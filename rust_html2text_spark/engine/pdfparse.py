@@ -96,6 +96,9 @@ class Stream:
 
 _NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 
+# shared interned Name objects for the escape-free fast path (bounded)
+_NAME_CACHE: dict[bytes, "Name"] = {}
+
 
 class Lexer:
     """Tokenizer/parser over a bytes buffer.  One instance parses both
@@ -113,10 +116,24 @@ class Lexer:
 
     def skip_ws(self) -> None:
         # whitespace runs and %-comments (terminated by the following
-        # ws run or EOF) in one regex step
-        m = _WS_OR_COMMENT_RE.match(self.data, self.pos)
-        if m:
-            self.pos = m.end()
+        # ws run or EOF).  The overwhelmingly common shape is 0-2 plain
+        # ws bytes and no comment: walk those inline (a failed/short
+        # regex match costs more than the byte checks) and fall back to
+        # the one-regex step only at a '%'.
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:  # '%': comment(s) — the regex eats the rest
+                m = _WS_OR_COMMENT_RE.match(data, pos)
+                self.pos = m.end()
+                return
+            else:
+                break
+        self.pos = pos
 
     def peek(self) -> int:
         if self.pos >= len(self.data):
@@ -149,7 +166,15 @@ class Lexer:
         if end >= n or data[end] != 0x23:
             start = self.pos
             self.pos = end
-            return Name(data[start:end].decode("latin-1"))
+            raw = data[start:end]
+            # intern: /Type /Font /Widths ... repeat constantly (Name is
+            # an immutable str subclass, sharing instances is safe)
+            got = _NAME_CACHE.get(raw)
+            if got is None:
+                got = Name(raw.decode("latin-1"))
+                if len(_NAME_CACHE) < 4096:
+                    _NAME_CACHE[raw] = got
+            return got
         out = bytearray()
         while self.pos < n:
             c = data[self.pos]
@@ -275,10 +300,23 @@ class Lexer:
 
     def parse_object(self):
         """Parse one object, folding `N G R` into a Ref."""
-        self.skip_ws()
-        c = self.peek()
-        if c == -1:
+        # inlined skip_ws + peek (hot: one pair of calls per object)
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:
+                m = _WS_OR_COMMENT_RE.match(data, pos)
+                pos = m.end()
+            else:
+                break
+        self.pos = pos
+        if pos >= n:
             raise PdfError("unexpected end of data")
+        c = data[pos]
         if c == 0x2F:
             return self.parse_name()
         if c == 0x28:
@@ -295,15 +333,26 @@ class Lexer:
                 self.skip_ws()
                 m = _NUMBER_RE.match(self.data, self.pos)
                 if m and m.group().isdigit():
-                    probe = Lexer(self.data, m.end())
-                    probe.skip_ws()
-                    after = probe.data[probe.pos + 1 : probe.pos + 2]
-                    if probe.data[probe.pos : probe.pos + 1] == b"R" and (
+                    # inline probe (was a throwaway Lexer + skip_ws):
+                    # skip ws/comments after the 2nd number, then look
+                    # for a delimited 'R'
+                    p = m.end()
+                    while p < n:
+                        ch = data[p]
+                        if ch in WHITESPACE:
+                            p += 1
+                        elif ch == 0x25:
+                            mm = _WS_OR_COMMENT_RE.match(data, p)
+                            p = mm.end()
+                        else:
+                            break
+                    after = data[p + 1 : p + 2]
+                    if data[p : p + 1] == b"R" and (
                         after == b""
                         or after[0] in WHITESPACE
                         or after[0] in DELIMITERS
                     ):
-                        self.pos = probe.pos + 1
+                        self.pos = p + 1
                         return Ref(num, int(m.group()))
                 self.pos = save
             return num
@@ -320,10 +369,23 @@ class Lexer:
         """Content-stream tokenizer: like parse_object but unknown
         keywords come back as ('op', bytes) operator tokens and EOF as
         None (content streams are a flat postfix stream, not a tree)."""
-        self.skip_ws()
-        c = self.peek()
-        if c == -1:
+        # inlined skip_ws + peek (hot: one pair of calls per token)
+        data = self.data
+        pos = self.pos
+        n = len(data)
+        while pos < n:
+            c = data[pos]
+            if c in WHITESPACE:
+                pos += 1
+            elif c == 0x25:
+                m = _WS_OR_COMMENT_RE.match(data, pos)
+                pos = m.end()
+            else:
+                break
+        self.pos = pos
+        if pos >= n:
             return None
+        c = data[pos]
         if c == 0x2F:
             return self.parse_name()
         if c == 0x28:

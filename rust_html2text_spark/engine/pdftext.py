@@ -219,10 +219,25 @@ class Font:
         same width_of(code)/1000.0 the slow path computes)."""
         t = self._fast
         if t is None:
-            dec = [self.decode_code(c) for c in range(256)]
-            wget = self.widths.get
-            dw = self.default_width
-            t = self._fast = (dec, [wget(c, dw) / 1000.0 for c in range(256)])
+            # layered build, C-level dict iteration instead of 256
+            # decode_code calls (same precedence as decode_code for a
+            # non-CID font: tounicode > encoding > printable ASCII > "")
+            dec = [""] * 256
+            for c in range(32, 127):
+                dec[c] = chr(c)
+            for c, ch in self.encoding.items():
+                if ch is not None and 0 <= c < 256:
+                    dec[c] = ch
+            if self.tounicode is not None:
+                for c, ch in self.tounicode.items():
+                    if ch is not None and 0 <= c < 256:
+                        dec[c] = ch
+            dw = self.default_width / 1000.0
+            bw = [dw] * 256
+            for c, w in self.widths.items():
+                if 0 <= c < 256:
+                    bw[c] = w / 1000.0
+            t = self._fast = (dec, bw)
         return t
 
     @classmethod
@@ -461,11 +476,31 @@ def interpret_page(
                     w += word_sp
                 advance += w * hscale
         else:
-            for code in font.iter_codes(raw):
-                ch = font.decode_code(code)
-                run.text.append(ch)
-                w = font.width_of(code) / 1000.0 * g.size + g.char_sp
-                advance += w * g.hscale
+            # CID fast path (r07): same per-code semantics as
+            # iter_codes + decode_code + width_of, with the three
+            # per-glyph Python calls inlined (codes are ≤ 0xFFFF, so
+            # the chr() fallback can never raise).  Arithmetic order is
+            # unchanged — glyph positions stay bit-equal.
+            tun = font.tounicode
+            wget = font.widths.get
+            dw = font.default_width
+            size = g.size
+            char_sp = g.char_sp
+            hscale = g.hscale
+            text_append = run.text.append
+            nraw = len(raw)
+            codes = [
+                (raw[k] << 8) | raw[k + 1] for k in range(0, nraw - 1, 2)
+            ]
+            if nraw % 2:
+                codes.append(raw[-1])
+            for code in codes:
+                ch = None if tun is None else tun.get(code)
+                if ch is None:
+                    ch = chr(code)
+                text_append(ch)
+                w = wget(code, dw) / 1000.0 * size + char_sp
+                advance += w * hscale
         tm = _mat_mul((1, 0, 0, 1, advance, 0), tm)
         rm_end = _mat_mul(tm, g.ctm)
         run.end_x = rm_end[4]

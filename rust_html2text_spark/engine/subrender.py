@@ -666,6 +666,26 @@ class TextRenderer:
         # Deref/DerefMut: delegate to the top sub-renderer
         return getattr(self.subrender[-1], name)
 
+    # direct delegators for the hottest Deref calls (skip the
+    # __getattr__ + getattr dispatch pair; behaviour identical)
+    def add_inline_text(self, text: str) -> None:
+        self.subrender[-1].add_inline_text(text)
+
+    def start_block(self) -> None:
+        self.subrender[-1].start_block()
+
+    def end_block(self) -> None:
+        self.subrender[-1].end_block()
+
+    def new_sub_renderer(self, width: int) -> SubRenderer:
+        return self.subrender[-1].new_sub_renderer(width)
+
+    def width_minus(self, prefix_len: int, min_width: int) -> int:
+        return self.subrender[-1].width_minus(prefix_len, min_width)
+
+    def append_subrender(self, other: SubRenderer, prefixes) -> None:
+        self.subrender[-1].append_subrender(other, prefixes)
+
     def start_link(self, target: str) -> None:
         self.links.append(target)
         self.subrender[-1].start_link(target)
