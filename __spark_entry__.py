@@ -177,7 +177,14 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions"))
     )
     html_edges = (
-        extract_links(chrome_pages_from_documents(docs))
+        # outlier_bytes=None: the outlier lane's second filtered pass
+        # would RE-RUN the in-plan chrome synthesis (the input here is a
+        # derived expression, not a parquet scan, so the second branch
+        # recomputes it end to end), and the synthesized pages are
+        # length-bounded by construction — the straggler-isolation lane
+        # buys nothing on this input and costs two extra kernel passes
+        # (measured: frontier 2.2-2.5s -> 1.6-1.8s paired, r07)
+        extract_links(chrome_pages_from_documents(docs), outlier_bytes=None)
         .filter(F.col("nofollow") == 0)
         # a frontier edge must be an absolute, fetchable URL: unresolvable
         # hrefs (target_abs NULL) and non-http(s) schemes are noise

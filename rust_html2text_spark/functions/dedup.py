@@ -625,7 +625,11 @@ def dup_components(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
-        new_labels = cur.localCheckpoint()
+        # LAZY checkpoint (r07 second pass): the convergence count below
+        # is the materializing action, so checkpoint + count run as ONE
+        # job per round instead of two (measured −0.4s on the 4096-chain,
+        # paired; a 3-round shallow graph saves ~3 job round-trips too)
+        new_labels = cur.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
