@@ -465,6 +465,12 @@ _simple_start = _re.compile(r"([a-zA-Z][a-zA-Z0-9]*)>")
 _one_attr_start = _re.compile(
     r'([a-zA-Z][a-zA-Z0-9]*) ([a-zA-Z][a-zA-Z0-9-]*)="([^"<]*)" ?>'
 )
+# two or more double-quoted attributes, single spaces (<meta name=.. content=..>,
+# <a href=.. rel=..>) — everything else falls to the tolerant machinery
+_multi_attr_start = _re.compile(
+    r'([a-zA-Z][a-zA-Z0-9]*)((?: [a-zA-Z][a-zA-Z0-9-]*="[^"<]*"){2,}) ?>'
+)
+_attr_pair = _re.compile(r' ([a-zA-Z][a-zA-Z0-9-]*)="([^"]*)"')
 _commentclose = _re.compile(r"--\s*>")
 _endtagfind = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _markedclose = _re.compile(r"]\s*]\s*>")
@@ -529,6 +535,24 @@ def _fast_feed(builder: TreeBuilder, rawdata: str) -> None:
                 if aval and "&" in aval:
                     aval = _unescape(aval)
                 builder.handle_starttag(tag, [(aname.lower(), aval)])
+                if tag in _CDATA_ELEMS:
+                    cdata_elem = tag
+                    cdata_re = _cdata_res[tag]
+                i = sm.end()
+                continue
+            sm = _multi_attr_start.match(rawdata, i + 1)
+            if sm:
+                # ≥2 clean double-quoted attrs: same result as the
+                # tolerant machinery (attrfind parses each ` name="v"`
+                # pair in turn; _unescape is the identity without '&')
+                tag = sm.group(1).lower()
+                attrs = []
+                for am in _attr_pair.finditer(sm.group(2)):
+                    aname, aval = am.groups()
+                    if aval and "&" in aval:
+                        aval = _unescape(aval)
+                    attrs.append((aname.lower(), aval))
+                builder.handle_starttag(tag, attrs)
                 if tag in _CDATA_ELEMS:
                     cdata_elem = tag
                     cdata_re = _cdata_res[tag]
