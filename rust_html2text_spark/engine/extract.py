@@ -331,6 +331,10 @@ def resolve_url(base: str | None, href: str) -> str | None:
     from urllib.parse import urljoin, urlsplit
 
     href = href.strip()
+    # fast path: the overwhelmingly common absolute forms skip urlsplit
+    # (http://x and https://x have a scheme by construction)
+    if href.startswith("http://") or href.startswith("https://"):
+        return href
     try:
         if urlsplit(href).scheme:
             return href

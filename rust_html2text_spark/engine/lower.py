@@ -259,18 +259,11 @@ def process_dom_node(context, node):
     def styled(kind_, children=None, **kw):
         return RenderNode(kind_, children, style=computed, **kw)
 
-    if name == "template":
-        # html5ever stores template contents out-of-tree (template_contents,
-        # not children), so the reference sees an empty unknown element and
-        # drops it (pending_noempty with no children).
-        result = Pending([], lambda _, cs: NOTHING_SENTINEL)
-    elif name in ("html", "body"):
-        result = _pending(node, lambda _, cs: styled(N.CONTAINER, cs))
-    elif name in _DROPPED:
-        result = None
-    elif name == "span":
-        result = _pending_noempty(node, lambda _, cs: styled(N.CONTAINER, cs))
-    elif name == "a":
+    # dispatch arms ordered by measured tag frequency over the bench
+    # corpora (a > p > headers > td > div > li > html/body > dropped
+    # head/chrome tags > tr ...); the tag sets are mutually disjoint, so
+    # the order is semantics-free (r07 third pass)
+    if name == "a":
         frag_from_name_attr = True
         href = node.attrs.get("href")
         if href is not None:
@@ -283,6 +276,25 @@ def process_dom_node(context, node):
             result = _pending(node, cons_a)
         else:
             result = _pending(node, lambda _, cs: styled(N.CONTAINER, cs))
+    elif name == "p":
+        result = _pending_noempty(node, lambda _, cs: styled(N.BLOCK, cs))
+    elif name in _HEADERS:
+        level = int(name[1:])
+        result = _pending(node, lambda _, cs: styled(N.HEADER, cs, value=level))
+    elif name in ("th", "td"):
+        result = _td_to_render_tree(node, computed)
+    elif name == "div":
+        result = _pending_noempty(node, lambda _, cs: styled(N.DIV, cs))
+    elif name == "li":
+        result = _pending(node, lambda _, cs: styled(N.LIST_ITEM, cs))
+    elif name in ("html", "body"):
+        result = _pending(node, lambda _, cs: styled(N.CONTAINER, cs))
+    elif name in _DROPPED:
+        result = None
+    elif name == "tr":
+        result = _tr_to_render_tree(node, computed)
+    elif name == "span":
+        result = _pending_noempty(node, lambda _, cs: styled(N.CONTAINER, cs))
     elif name in _EM_TAGS:
         result = _pending(node, lambda _, cs: styled(N.EM, cs))
     elif name in _STRONG_TAGS:
@@ -312,17 +324,8 @@ def process_dom_node(context, node):
                 else:
                     break
         result = Finished(RenderNode(N.SVG, extra=title or "", style=computed))
-    elif name in _HEADERS:
-        level = int(name[1:])
-        result = _pending(node, lambda _, cs: styled(N.HEADER, cs, value=level))
-    elif name == "p":
-        result = _pending_noempty(node, lambda _, cs: styled(N.BLOCK, cs))
-    elif name == "li":
-        result = _pending(node, lambda _, cs: styled(N.LIST_ITEM, cs))
     elif name == "sup":
         result = _pending(node, lambda _, cs: styled(N.SUP, cs))
-    elif name == "div":
-        result = _pending_noempty(node, lambda _, cs: styled(N.DIV, cs))
     elif name == "pre":
 
         def cons_pre(_, cs):
@@ -340,10 +343,6 @@ def process_dom_node(context, node):
         result = _table_to_render_tree(node, computed)
     elif name in ("thead", "tbody"):
         result = _tbody_to_render_tree(node, computed)
-    elif name == "tr":
-        result = _tr_to_render_tree(node, computed)
-    elif name in ("th", "td"):
-        result = _td_to_render_tree(node, computed)
     elif name == "blockquote":
         result = _pending_noempty(node, lambda _, cs: styled(N.BLOCKQUOTE, cs))
     elif name == "ul":
@@ -367,6 +366,11 @@ def process_dom_node(context, node):
         result = _pending(node, lambda _, cs: styled(N.DT, cs))
     elif name == "dd":
         result = _pending(node, lambda _, cs: styled(N.DD, cs))
+    elif name == "template":
+        # html5ever stores template contents out-of-tree (template_contents,
+        # not children), so the reference sees an empty unknown element and
+        # drops it (pending_noempty with no children).
+        result = Pending([], lambda _, cs: NOTHING_SENTINEL)
     else:
         result = _pending_noempty(node, lambda _, cs: styled(N.CONTAINER, cs))
 
