@@ -414,9 +414,34 @@ def links_from_node(node: DomNode) -> list[tuple[int, str, str, int]]:
 def _resolve_links(
     links: list[tuple[int, str, str, int]], base: str | None
 ) -> list[tuple[int, str, str, int, str | None]]:
+    """resolve_url over a page's link list with the base validity check
+    hoisted out of the per-link loop (the base is one string per page;
+    urllib's 20-entry parse cache thrashes once a page has more hrefs
+    than that)."""
+    from urllib.parse import urljoin, urlsplit
+
+    try:
+        base_ok = bool(base) and bool(urlsplit(base).scheme)
+    except ValueError:
+        base_ok = False
+
+    def resolve(href: str) -> str | None:
+        # same per-link semantics as resolve_url: an absolute href wins
+        # regardless of the base; a relative href needs a valid base
+        href = href.strip()
+        if href.startswith("http://") or href.startswith("https://"):
+            return href
+        try:
+            if urlsplit(href).scheme:
+                return href
+            if not base_ok:
+                return None
+            return urljoin(base, href)
+        except ValueError:
+            return None
+
     return [
-        (o, href, anchor, nf, resolve_url(base, href))
-        for o, href, anchor, nf in links
+        (o, href, anchor, nf, resolve(href)) for o, href, anchor, nf in links
     ]
 
 
