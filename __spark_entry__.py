@@ -252,10 +252,18 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges, robots = _frontier_and_robots(spark, sf_dir)
+    # two parses (rules + policy) consume the robots corpus, and the
+    # policy feeds two consumers (sitemap edges + the delay join) — so
+    # without barriers the host-distinct + robots synthesis subtree runs
+    # THREE times in one plan (r07 plan audit).  Both tables are one row
+    # per host (tiny); materializing them runs each subtree once.
+    robots = robots.localCheckpoint(eager=True)
     gated = frontier_allowed(
         edges, robots_rules(robots, agent="spark-graft-bot")
     )
-    policy = robots_host_policy(robots, agent="spark-graft-bot")
+    policy = robots_host_policy(robots, agent="spark-graft-bot").localCheckpoint(
+        eager=True
+    )
     allowed = gated.filter(F.col("allowed")).select("url", "target", "kind")
     all_edges = allowed.unionByName(sitemap_edges(policy))
     return frontier_schedule(
