@@ -241,6 +241,7 @@ def render_pages_deduped(
     config_kwargs: dict | None = None,
     num_partitions: int | None = None,
     salt: int = 0,
+    dedup_ratio_threshold: float | None = 1.5,
 ) -> DataFrame:
     """Dedup-aware rendering: render each *distinct* document once, then
     join results back to every url.
@@ -260,12 +261,42 @@ def render_pages_deduped(
     to meet it — both gone.  Caveat: a pathological duplicate class (one
     page mirrored 10^6×) materializes its url list in one row; at that
     scale split the class with a secondary group key upstream.
+
+    Adaptive plan choice (r07 continuation, guide §8 — decide with
+    SMALL rows): the render kernel is deterministic per payload, so a
+    near-distinct corpus gets an IDENTICAL result from rendering every
+    row directly — without shuffling a single payload byte.  A cheap
+    decision pass (md5 + count/approx_count_distinct: only 16-byte
+    hashes move, partial aggregation map-side) measures the duplication
+    ratio; below `dedup_ratio_threshold` the payload exchange +
+    aggregation + explode cannot pay for the kernel work it saves and
+    the direct plan runs instead (the content hash rides through the
+    kernel as a passthrough column).  Threshold rationale: locally the
+    exchange+agg of N rows costs about as much kernel time as rendering
+    0.35·N extra docs; on a network-shuffle cluster the exchange is
+    relatively dearer, so 1.5 is conservative in the direction that
+    matters.  The decision pass costs one extra payload read (no
+    shuffle); `dedup_ratio_threshold=None` disables it and always
+    groups (the pre-continuation behaviour).
     """
     from pyspark.sql.types import ArrayType
 
     hashed = df.select(
         "url", F.md5(F.col("html")).alias("content_hash"), "html"
     )
+    if dedup_ratio_threshold is not None:
+        stats = hashed.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("content_hash").alias("d"),
+        ).collect()[0]
+        if stats["n"] < dedup_ratio_threshold * max(stats["d"], 1):
+            schema = StructType(
+                RENDER_SCHEMA.fields + [StructField("content_hash", StringType())]
+            )
+            fn = _render_batch_fn(
+                width, config_kwargs or {}, passthrough_cols=("content_hash",)
+            )
+            return hashed.mapInPandas(fn, schema)
     if num_partitions:
         # same key as the groupBy below, so the aggregation reuses this
         # exchange instead of adding a second one

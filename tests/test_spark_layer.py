@@ -660,6 +660,48 @@ def test_render_scan_pruned_to_url_html(spark, tmp_path):
             assert unwanted not in schema, line
 
 
+def test_render_deduped_adaptive_paths_identical(spark, tmp_path):
+    """r07: render_pages_deduped routes a near-distinct corpus to the
+    direct (no payload exchange) plan and a duplicated corpus to the
+    grouped plan; both must produce identical rows, and the direct plan
+    must really drop the exchange."""
+    from pyspark.sql import functions as F
+
+    from rust_html2text_spark.operators.render import render_pages_deduped
+    from rust_html2text_spark.sources.corpus import load_pages
+
+    # materialize to parquet so the operator's own plan is measured (a
+    # bare .limit() would plan its own GlobalLimit exchange)
+    p = str(tmp_path / "pages")
+    load_pages(spark, SF_DIR).limit(40).write.parquet(p)
+    pages = spark.read.parquet(p)
+    dup = pages.unionByName(pages).unionByName(pages)  # every payload x3
+
+    for src in (pages, dup):
+        grouped = {
+            tuple(r)
+            for r in render_pages_deduped(
+                src, dedup_ratio_threshold=None
+            ).collect()
+        }
+        adaptive = {
+            tuple(r)
+            for r in render_pages_deduped(
+                src, dedup_ratio_threshold=1.5
+            ).collect()
+        }
+        assert adaptive == grouped and adaptive
+
+    # distinct corpus: the adaptive choice takes the exchange-free plan
+    direct = render_pages_deduped(pages, dedup_ratio_threshold=1.5)
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # duplicated corpus: the grouped (single-exchange) plan is kept
+    kept = render_pages_deduped(dup, dedup_ratio_threshold=1.5)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+
+
 def test_chunk_documents_reconstruction(spark):
     """Non-overlapping chunks (stride == chunk) concatenate back to the
     exact token stream; overlapping chunks respect size and overlap."""
