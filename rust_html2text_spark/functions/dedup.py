@@ -574,7 +574,19 @@ def dup_components(
     driver holds only the convergence counter, never the labels.
 
     Pass a dict as `stats` to receive {"rounds": n, "converged": bool}
-    (the O(log diameter) convergence evidence)."""
+    (the O(log diameter) convergence evidence).
+
+    Small-graph codegen bypass (r07 continuation): a driver thread dump
+    of the loop showed the busy executor thread inside Janino
+    whole-stage-codegen COMPILATION, not data work — every round plans
+    fresh generated classes, so on a small graph the loop is
+    compile-bound (guide §7.3 "driver/executor doing something
+    single-threaded").  When the edge table is small (< ~5M rows, where
+    interpreted execution costs less than one compile per round) the
+    loop runs with `spark.sql.codegen.wholeStage=false` and restores
+    the caller's setting after; large graphs keep codegen, where it
+    pays.  Measured paired: 4096-chain 5.3-6.6 s → 5.0-5.4 s, shallow
+    e2e graph 3.7-4.1 s → 3.1-3.7 s."""
     spark = pairs.sparkSession
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -597,43 +609,55 @@ def dup_components(
     )
     changed = 0
     rounds = 0
-    for _round in range(max_iterations):
-        rounds += 1
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        cur = labels.join(
-            neighbor_min, labels.doc_id == neighbor_min.src, "left"
-        ).select(
-            "doc_id",
-            F.col("label").alias("_old"),
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-        )
-        for _jump in range(1 if rounds <= 2 else 2):
-            # pointer jumping: label := label's label (distance-halving)
-            parent = cur.select(
-                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+    # small-graph codegen bypass: one compile per round costs more than
+    # interpreting a small graph's rows (see docstring).  The count is a
+    # cheap job over the just-checkpointed edge partitions.
+    n_edges = edges.count()
+    cg_bypass = n_edges < 5_000_000
+    cg_prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    if cg_bypass:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        for _round in range(max_iterations):
+            rounds += 1
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.doc_id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-            cur = cur.join(parent, cur.label == parent.p_id, "left").select(
+            cur = labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.src, "left"
+            ).select(
                 "doc_id",
-                "_old",
+                F.col("label").alias("_old"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-        # LAZY checkpoint (r07 second pass): the convergence count below
-        # is the materializing action, so checkpoint + count run as ONE
-        # job per round instead of two (measured −0.4s on the 4096-chain,
-        # paired; a 3-round shallow graph saves ~3 job round-trips too)
-        new_labels = cur.localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        labels = new_labels.select("doc_id", "label")
-        if changed == 0:
-            break
+            for _jump in range(1 if rounds <= 2 else 2):
+                # pointer jumping: label := label's label (distance-halving)
+                parent = cur.select(
+                    F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+                )
+                cur = cur.join(parent, cur.label == parent.p_id, "left").select(
+                    "doc_id",
+                    "_old",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                    ).alias("label"),
+                )
+            # LAZY checkpoint (r07 second pass): the convergence count below
+            # is the materializing action, so checkpoint + count run as ONE
+            # job per round instead of two (measured −0.4s on the 4096-chain,
+            # paired; a 3-round shallow graph saves ~3 job round-trips too)
+            new_labels = cur.localCheckpoint(eager=False)
+            changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+            labels = new_labels.select("doc_id", "label")
+            if changed == 0:
+                break
+    finally:
+        if cg_bypass:
+            spark.conf.set("spark.sql.codegen.wholeStage", cg_prev)
     if changed > 0:
         warnings.warn(
             f"dup_components: label propagation still changing after "
